@@ -1,0 +1,174 @@
+"""Driver-harness query registry — (spark, sf_dir) → DataFrame callables
+plus matching DuckDB oracle SQL (ANSI) for the correctness gate.
+
+Each query maps to a SURVEY.md §2 operator id (noted per entry) and is
+written Catalyst-first: aggregate/window/join push down to the parquet
+scan; every computed column is aliased identically in Spark and SQL so
+the driver's sorted-column value-hash comparison holds.
+
+Float discipline: aggregates that accumulate doubles are rounded to 4
+decimals on BOTH sides (the reference's own round-2/round-6 determinism
+discipline, /root/reference/cli/session.py:786-794,
+/root/reference/server/analysis/export13.py:26-32).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cyclegraph_spark.tables import load
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# A1/A8 — pricing summary (session scalar block analog; TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8: one groupBy with partial (map-side) aggregation; the filter
+    and the 7-column projection push to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — Normalized-Power-style rolling 30-row 4th-power mean
+# --------------------------------------------------------------------------
+@query(
+    "rolling_np_per_user",
+    oracle="""
+    WITH rolled AS (
+      SELECT user_id,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS roll
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT user_id, ROUND(POWER(AVG(POWER(roll, 4)), 0.25), 4) AS np
+    FROM rolled GROUP BY user_id ORDER BY user_id
+    """,
+)
+def rolling_np_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (core/src/metrics.rs:181-238): 30-sample rolling mean →
+    mean of 4th powers → ^0.25. rowsBetween is expanding at partition
+    start — the reference's warm-up semantics exactly."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-29, 0)
+    rolled = ev.select("user_id", F.avg("value").over(w).alias("roll"))
+    return (
+        rolled.groupBy("user_id")
+        .agg(F.round(F.pow(F.avg(F.pow("roll", 4)), 0.25), 4).alias("np"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# A4/A5/A6 — exact median, MAD, IQR-sigma (robust stats family)
+# --------------------------------------------------------------------------
+@query(
+    "median_mad_per_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type,
+           ROUND(ANY_VALUE(med), 4)                            AS median_value,
+           ROUND(1.4826 * QUANTILE_CONT(adev, 0.5), 4)         AS mad_sigma
+    FROM dev GROUP BY event_type ORDER BY event_type
+    """,
+)
+def median_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 exact median + A5 MAD (core/src/metrics.rs:103-174) — two-pass
+    percentile aggregation; the small per-group medians broadcast back."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 4).alias("median_value"),
+            F.round(1.4826 * F.percentile("adev", 0.5), 4).alias("mad_sigma"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# O2 — last-N listing (orderBy desc + limit with deterministic tie-break)
+# --------------------------------------------------------------------------
+@query(
+    "last_n_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
+    """,
+)
+def last_n_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 (cli/session.py:50-98 read_last_sessions): top-k by timestamp;
+    Spark plans this as TakeOrderedAndProject — no full sort."""
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    ).limit(5)

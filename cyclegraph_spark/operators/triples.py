@@ -1,0 +1,370 @@
+"""Triple lifting — record → RDF triple mapper, Spark-first.
+
+Reimplements the semantics of the reference RDF mapper
+(/root/reference/cli/csv_to_rdf.py:12-62) as declarative DataFrame ops:
+
+- URI minting: ``smp:{activity_id}/{index}`` (``/unknown`` when index
+  empty), ``act:{activity_id}``        (csv_to_rdf.py:14-16)
+- unconditional relation (sample, cg:activity, act)   (csv_to_rdf.py:19)
+- typed literal coercion, SKIP-ON-ERROR:
+  int via ``int(float(x))``             (csv_to_rdf.py:22-43)
+  bool via truthy sets, raw fallthrough (csv_to_rdf.py:45-54)
+  float                                  (csv_to_rdf.py:57-62)
+  empty-after-strip → no triple.
+
+Coercion runs JVM-side (``try_cast`` + ``when``) — cast failures become
+NULL and the triple row is dropped, which is exactly the reference's
+"except ValueError: pass". The 1→N row fanout is ``explode`` over an
+array of candidate triple structs (no UDF, no UDTF).
+
+Output schema (long/narrow triple table, SURVEY.md §1.1):
+    triples(subj string, pred string, obj string, obj_dtype string)
+plus a ``src`` column (source url / file) retained for lineage.
+
+The same module lifts HTML pages: a vectorized pandas UDF PARSES
+microdata / RDFa / JSON-LD islands into raw (subj, pred, raw_value)
+structs (parsing is the only Python stage); typed coercion is then the
+same shared Column logic.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Namespaces — verbatim from /root/reference/cli/csv_to_rdf.py:8-10
+CG = "https://cyclegraph.dev/ns#"
+ACT = "https://cyclegraph.dev/activity/"
+SMP = "https://cyclegraph.dev/sample/"
+SCHEMA = "http://schema.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_FLOAT = "http://www.w3.org/2001/XMLSchema#float"
+XSD_BOOL = "http://www.w3.org/2001/XMLSchema#boolean"
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+TRIPLE_FIELDS = "subj string, pred string, obj string, obj_dtype string"
+
+# predicate → coercion rule for lifted web properties (SURVEY.md §7.0:
+# literal rules transplanted verbatim; property set from the synthetic
+# corpus mirrors the reference's sample-stream columns)
+PROPERTY_RULES: dict[str, str] = {
+    "power": "integer",
+    "heartRate": "integer",
+    "timeS": "integer",
+    "altitude": "float",
+    "moving": "boolean",
+    "name": "string",
+    "identifier": "string",
+}
+
+
+def _int_literal(raw: Column) -> Column:
+    """int(float(x)) with skip-on-error: NULL when not parseable.
+
+    Truncation toward zero matches Python int(float(.)) for doubles.
+    """
+    d = raw.try_cast(T.DoubleType())
+    return F.when(d.isNotNull() & ~F.isnan(d), d.cast(T.LongType()).cast(T.StringType()))
+
+
+def _float_literal(raw: Column) -> Column:
+    d = raw.try_cast(T.DoubleType())
+    return F.when(d.isNotNull() & ~F.isnan(d), d.cast(T.StringType()))
+
+
+def _bool_literal(raw: Column) -> Column:
+    """csv_to_rdf.py:45-54 — truthy/falsy sets, else keep RAW string
+    (rdflib would emit an ill-typed boolean literal; we preserve that)."""
+    low = F.lower(raw)
+    return (
+        F.when(low.isin("true", "1"), F.lit("true"))
+        .when(low.isin("false", "0"), F.lit("false"))
+        .otherwise(raw)
+    )
+
+
+def coerce_literal(raw: Column, rule: str) -> tuple[Column, Column]:
+    """→ (obj, obj_dtype) columns; obj NULL means 'skip this triple'."""
+    stripped = F.trim(raw)
+    nonempty = stripped.isNotNull() & (stripped != "")
+    if rule == "integer":
+        return F.when(nonempty, _int_literal(stripped)), F.lit(XSD_INT)
+    if rule == "float":
+        return F.when(nonempty, _float_literal(stripped)), F.lit(XSD_FLOAT)
+    if rule == "boolean":
+        return F.when(nonempty, _bool_literal(stripped)), F.lit(XSD_BOOL)
+    if rule == "string":
+        return F.when(nonempty, stripped), F.lit(XSD_STRING)
+    raise ValueError(f"unknown coercion rule {rule!r}")
+
+
+def _triple_struct(subj: Column, pred: str | Column, obj: Column, dtype: Column) -> Column:
+    p = F.lit(pred) if isinstance(pred, str) else pred
+    return F.struct(
+        subj.alias("subj"), p.alias("pred"), obj.alias("obj"), dtype.alias("obj_dtype")
+    )
+
+
+def lift_stream_rows(df: DataFrame, src_col: str | None = None) -> DataFrame:
+    """P1 — the reference CSV→RDF mapper over a DataFrame.
+
+    Input columns (strings, the reference stream CSV header,
+    csv_to_rdf.py:67): activity_id, index, time_s, hr, watts, moving,
+    altitude. Output: triples(subj, pred, obj, obj_dtype).
+
+    Single narrow stage: project → explode → filter. No shuffle.
+    """
+    aid = F.trim(F.coalesce(F.col("activity_id").cast("string"), F.lit("")))
+    idx = F.trim(F.coalesce(F.col("index").cast("string"), F.lit("")))
+    sample = F.concat(
+        F.lit(SMP), aid, F.lit("/"), F.when(idx != "", idx).otherwise(F.lit("unknown"))
+    )
+    act = F.concat(F.lit(ACT), aid)
+
+    candidates = [
+        _triple_struct(sample, CG + "activity", act, F.lit("uri")),
+    ]
+    for col_name, pred, rule in [
+        ("time_s", CG + "timeS", "integer"),
+        ("hr", CG + "heartRate", "integer"),
+        ("watts", CG + "power", "integer"),
+        ("moving", CG + "moving", "boolean"),
+        ("altitude", CG + "altitude", "float"),
+    ]:
+        obj, dtype = coerce_literal(F.col(col_name).cast("string"), rule)
+        candidates.append(_triple_struct(sample, pred, obj, dtype))
+
+    cols = [F.explode(F.array(*candidates)).alias("t")]
+    if src_col:
+        cols.insert(0, F.col(src_col).alias("src"))
+    out = df.select(*cols).select(
+        *([F.col("src")] if src_col else []),
+        "t.subj",
+        "t.pred",
+        "t.obj",
+        "t.obj_dtype",
+    )
+    return out.filter(F.col("obj").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# HTML island parsing (microdata / RDFa / JSON-LD) — the parse-only UDF
+# --------------------------------------------------------------------------
+
+_RE_MICRO_ITEM = re.compile(
+    r'<(\w+)[^>]*\bitemscope\b[^>]*\bitemtype="([^"]+)"[^>]*\bitemid="([^"]+)"[^>]*>(.*?)</\1\s*>',
+    re.DOTALL,
+)
+_RE_MICRO_PROP = re.compile(r'\bitemprop="([^"]+)"[^>]*>([^<]*)<')
+_RE_RDFA_ITEM = re.compile(
+    r'<(\w+)[^>]*\btypeof="([^"]+)"[^>]*\babout="([^"]+)"[^>]*>(.*?)</\1\s*>',
+    re.DOTALL,
+)
+_RE_RDFA_PROP = re.compile(r'\bproperty="(?:schema:)?([^"]+)"[^>]*\bcontent="([^"]*)"')
+_RE_JSONLD = re.compile(
+    r'<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script\s*>', re.DOTALL
+)
+
+_CURIE = {"schema:": SCHEMA}
+
+
+def _expand(term: str) -> str:
+    for pfx, ns in _CURIE.items():
+        if term.startswith(pfx):
+            return ns + term[len(pfx):]
+    if term.startswith("http://") or term.startswith("https://"):
+        return term
+    return SCHEMA + term
+
+
+def _walk_jsonld(node, out: list[tuple[str, str, str]]) -> None:
+    if isinstance(node, dict):
+        nid = node.get("@id")
+        if nid:
+            ntype = node.get("@type")
+            if isinstance(ntype, str):
+                out.append((nid, RDF_TYPE, _expand(ntype)))
+            same = node.get("sameAs")
+            if isinstance(same, str):
+                out.append((nid, OWL_SAMEAS, same))
+            elif isinstance(same, list):
+                for s in same:
+                    if isinstance(s, str):
+                        out.append((nid, OWL_SAMEAS, s))
+            ident = node.get("identifier")
+            if isinstance(ident, str):
+                out.append((nid, SCHEMA + "identifier", ident))
+        for v in node.values():
+            _walk_jsonld(v, out)
+    elif isinstance(node, list):
+        for v in node:
+            _walk_jsonld(v, out)
+
+
+def parse_islands(html: bytes | None) -> list[tuple[str, str, str, str]]:
+    """Pure parser: html → [(subj, pred, raw_value, kind)].
+
+    kind ∈ {'uri', 'raw'} — 'uri' rows skip literal coercion.
+    Shared by the Spark pandas UDF and the single-node fixture oracle,
+    so P/R measures COERCION+PLAN parity, not parser parity.
+    """
+    if html is None:
+        return []
+    try:
+        s = html.decode("utf-8")
+    except UnicodeDecodeError:
+        s = html.decode("latin-1")
+    out: list[tuple[str, str, str, str]] = []
+    for m in _RE_MICRO_ITEM.finditer(s):
+        itemtype, itemid, body = m.group(2), m.group(3), m.group(4)
+        out.append((itemid, RDF_TYPE, itemtype, "uri"))
+        for pm in _RE_MICRO_PROP.finditer(body):
+            out.append((itemid, _expand(pm.group(1)), pm.group(2), "raw"))
+    for m in _RE_RDFA_ITEM.finditer(s):
+        typeof, about, body = m.group(2), m.group(3), m.group(4)
+        out.append((about, RDF_TYPE, _expand(typeof), "uri"))
+        for pm in _RE_RDFA_PROP.finditer(body):
+            out.append((about, _expand(pm.group(1)), pm.group(2), "raw"))
+    for m in _RE_JSONLD.finditer(s):
+        try:
+            doc = json.loads(m.group(1))
+        except (json.JSONDecodeError, ValueError):
+            continue  # tolerant-parse discipline (t11_matrix.py:106-158 analog)
+        tl: list[tuple[str, str, str]] = []
+        _walk_jsonld(doc, tl)
+        out.extend((s_, p_, o_, "uri") for s_, p_, o_ in tl)
+    return out
+
+
+_RAW_TRIPLE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("subj", T.StringType()),
+            T.StructField("pred", T.StringType()),
+            T.StructField("raw", T.StringType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_RAW_TRIPLE_SCHEMA)
+def _parse_islands_udf(html: pd.Series) -> pd.Series:
+    return html.map(parse_islands)
+
+
+def lift_html_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """pages(url, html, ...) → triples(src, subj, pred, obj, obj_dtype).
+
+    Stage shape: scan → mapInArrow(parse) → explode → column coercion.
+    Narrow end-to-end (no shuffle); scales linearly with input splits.
+    """
+    raw = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(_parse_islands_udf(F.col("html"))).alias("t"),
+    ).select("src", "t.subj", "t.pred", "t.raw", "t.kind")
+
+    pred_name = F.element_at(F.split(F.col("pred"), "/"), -1)
+    # typed coercion per PROPERTY_RULES; unknown raw predicates → string
+    obj = F.col("raw")
+    dtype = F.lit(XSD_STRING)
+    for prop, rule in PROPERTY_RULES.items():
+        o, d = coerce_literal(F.col("raw"), rule)
+        cond = (F.col("kind") == "raw") & (pred_name == prop)
+        obj = F.when(cond, o).otherwise(obj)
+        dtype = F.when(cond, d).otherwise(dtype)
+    obj = F.when(F.col("kind") == "uri", F.col("raw")).otherwise(obj)
+    dtype = F.when(F.col("kind") == "uri", F.lit("uri")).otherwise(dtype)
+
+    return (
+        raw.withColumn("obj", obj)
+        .withColumn("obj_dtype", dtype)
+        .filter(F.col("obj").isNotNull())
+        .select("src", "subj", "pred", "obj", "obj_dtype")
+    )
+
+
+# --------------------------------------------------------------------------
+# Single-node oracle twin of the reference mapper (fixture generator)
+# --------------------------------------------------------------------------
+
+def reference_add_row(activity_id: str, row: dict[str, str]) -> set[tuple[str, str, str, str]]:
+    """Pure-Python twin of /root/reference/cli/csv_to_rdf.py:12-62 add_row.
+
+    Returns the triple SET for one CSV row — the parity fixture for
+    lift_stream_rows. (rdflib unavailable in this env; literal string
+    forms follow rdflib's lexical mapping: str(int), 'true'/'false',
+    str(float).)
+    """
+    triples: set[tuple[str, str, str, str]] = set()
+    idx = row.get("index", "").strip()
+    sample = f"{SMP}{activity_id}/{idx}" if idx != "" else f"{SMP}{activity_id}/unknown"
+    act = f"{ACT}{activity_id}"
+    triples.add((sample, CG + "activity", act, "uri"))
+
+    for key, pred, kind in [
+        ("time_s", "timeS", int),
+        ("hr", "heartRate", int),
+        ("watts", "power", int),
+    ]:
+        v = row.get(key, "").strip()
+        if v != "":
+            try:
+                triples.add((sample, CG + pred, str(int(float(v))), XSD_INT))
+            except ValueError:
+                pass
+    mv = row.get("moving", "").strip()
+    if mv != "":
+        if mv.lower() in ("true", "1"):
+            val = "true"
+        elif mv.lower() in ("false", "0"):
+            val = "false"
+        else:
+            val = mv
+        triples.add((sample, CG + "moving", val, XSD_BOOL))
+    alt = row.get("altitude", "").strip()
+    if alt != "":
+        try:
+            triples.add((sample, CG + "altitude", str(float(alt)), XSD_FLOAT))
+        except ValueError:
+            pass
+    return triples
+
+
+def reference_lift_page(url: str, html: bytes) -> set[tuple[str, str, str, str]]:
+    """Single-node oracle for lift_html_pages (coercion in pure Python)."""
+    out: set[tuple[str, str, str, str]] = set()
+    for subj, pred, raw, kind in parse_islands(html):
+        if kind == "uri":
+            out.add((subj, pred, raw, "uri"))
+            continue
+        prop = pred.rsplit("/", 1)[-1]
+        rule = PROPERTY_RULES.get(prop, "string")
+        v = raw.strip()
+        if v == "":
+            continue
+        if rule == "integer":
+            try:
+                out.add((subj, pred, str(int(float(v))), XSD_INT))
+            except ValueError:
+                pass
+        elif rule == "float":
+            try:
+                out.add((subj, pred, str(float(v)), XSD_FLOAT))
+            except ValueError:
+                pass
+        elif rule == "boolean":
+            low = v.lower()
+            val = "true" if low in ("true", "1") else "false" if low in ("false", "0") else v
+            out.add((subj, pred, val, XSD_BOOL))
+        else:
+            out.add((subj, pred, v, XSD_STRING))
+    return out

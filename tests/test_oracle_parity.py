@@ -1,0 +1,73 @@
+"""Mimics the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() twin on DuckDB over the same parquet tables;
+compare row count, column names, and order-insensitive values."""
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from cyclegraph_spark.tables import TESTDATA_TABLES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _rows_to_set(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _pairs():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    return [(name, q[name], o.get(name)) for name in sorted(q)]
+
+
+@pytest.mark.parametrize("name,fn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, ddb, name, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = list(sdf.columns)
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    res = ddb.execute(sql)
+    drows = res.fetchall()
+    dcols = [d[0] for d in res.description]
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    sset = _rows_to_set(scols, [tuple(r) for r in srows])
+    dset = _rows_to_set(dcols, drows)
+    mism = [(a, b) for a, b in zip(sset, dset) if a != b]
+    assert not mism, f"{name}: first mismatches {mism[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"pred", "obj_dtype", "n_triples"}
