@@ -1,0 +1,142 @@
+"""Entity linking — mention detection + link scoring against a broadcast
+alias dictionary.
+
+Reference analog: the keyed lookup + canonical-key scoring pattern
+(/root/reference/server/routes/sessions.py:284-414 canonical weather key;
+/root/reference/core/src/physics.rs:446-507 keyword→value table) and the
+argmin/argmax "best candidate" idiom (/root/reference/cli/analyze.py:226-238,
+/root/reference/core/src/calibration.rs:146-150).
+
+Spark-first design — NO per-row Python anywhere:
+1. tokenize text with ``split`` (JVM),
+2. generate candidate 1..K-token n-grams with ``transform(sequence(...))``
+   + ``slice`` + ``concat_ws`` (pure SQL array ops, whole-stage codegen),
+3. explode → **broadcast hash join** against the alias dictionary
+   (dictionary ~10³-10⁶ rows → broadcast; at larger dictionary scale
+   switch to a shuffled join on alias — the hot-alias skew lives on the
+   PAGES side of that join, which AQE skew-split handles),
+4. best link per (url, pos): longest alias wins, then highest prior,
+   then lexicographically smallest entity_id (deterministic tie-break —
+   the reference's newest-wins/sorted-glob discipline, SURVEY.md §2.6
+   O3/O6).
+
+Selection is ``min_by`` over an order-encoding struct — a single hash
+aggregation with map-side partial combine. No row_number window, so no
+per-(url,pos) sort and no skew hotspot when one page has many mentions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_NGRAM = 3
+
+
+def candidate_ngrams(
+    df: DataFrame, text_col: str = "text", key_cols: tuple[str, ...] = ("url",)
+) -> DataFrame:
+    """→ (key_cols..., pos, n, gram): all 1..MAX_NGRAM-token windows."""
+    grams = []
+    for n in range(1, MAX_NGRAM + 1):
+        grams.append(
+            F.expr(
+                f"""
+                transform(
+                  sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {n}, -1)),
+                  i -> struct(
+                    i AS pos, {n} AS n,
+                    concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {n})) AS gram
+                  )
+                )
+                """
+            )
+        )
+    return df.select(*key_cols, F.explode(F.flatten(F.array(*grams))).alias("g")).select(
+        *key_cols, "g.pos", "g.n", "g.gram"
+    )
+
+
+def link_mentions(
+    pages: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """pages × alias(alias, entity_id, prior) → best link per mention.
+
+    Output: (key_cols..., pos, alias, entity_id, score).
+
+    ``min_by`` key = struct(-n, -prior, entity_id): struct comparison is
+    lexicographic field-by-field, so the minimum is exactly (longest n,
+    highest prior, smallest entity_id) — deterministic at any
+    parallelism.
+    """
+    cands = candidate_ngrams(pages, text_col, key_cols)
+    joined = cands.join(F.broadcast(aliases), cands["gram"] == aliases["alias"], "inner")
+    order_key = F.struct(
+        (-F.col("n")).alias("neg_n"),
+        (-F.col("prior")).alias("neg_prior"),
+        F.col("entity_id").alias("entity_id"),
+    )
+    payload = F.struct(
+        F.col("alias").alias("alias"),
+        F.col("entity_id").alias("entity_id"),
+        F.col("prior").alias("score"),
+    )
+    w_keys = [*key_cols, "pos"]
+    return (
+        joined.groupBy(*w_keys)
+        .agg(F.min_by(payload, order_key).alias("best"))
+        .select(*w_keys, "best.alias", "best.entity_id", "best.score")
+    )
+
+
+def link_mentions_window(
+    pages: DataFrame,
+    aliases: DataFrame,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """row_number variant of the same semantics (O3 keep-best idiom) —
+    kept for plan comparison in tests/bench; one extra sort vs min_by."""
+    cands = candidate_ngrams(pages, text_col, key_cols)
+    joined = cands.join(F.broadcast(aliases), cands["gram"] == aliases["alias"])
+    w = Window.partitionBy(*[*key_cols, "pos"]).orderBy(
+        F.col("n").desc(), F.col("prior").desc(), F.col("entity_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*key_cols, "pos", "alias", "entity_id", F.col("prior").alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Single-node oracle for the parity test
+# --------------------------------------------------------------------------
+
+def reference_link(
+    text: str, alias_rows: list[tuple[str, str, float]]
+) -> list[tuple[int, str, str, float]]:
+    """Pure-Python twin of link_mentions over one document.
+
+    Returns [(pos, alias, entity_id, score)] — best link per position.
+    """
+    by_alias: dict[str, list[tuple[str, float]]] = {}
+    for a, e, p in alias_rows:
+        by_alias.setdefault(a, []).append((e, p))
+    toks = text.strip().split()
+    out: list[tuple[int, str, str, float]] = []
+    for pos in range(len(toks)):
+        cands: list[tuple[int, float, str, str]] = []
+        for n in range(1, MAX_NGRAM + 1):
+            if pos + n > len(toks):
+                break
+            gram = " ".join(toks[pos : pos + n])
+            for eid, prior in by_alias.get(gram, []):
+                cands.append((n, prior, eid, gram))
+        if cands:
+            n, prior, eid, gram = min(cands, key=lambda c: (-c[0], -c[1], c[2]))
+            out.append((pos, gram, eid, prior))
+    return out

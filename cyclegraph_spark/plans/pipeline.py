@@ -1,0 +1,118 @@
+"""The flagship triple factory — end-to-end KG construction pipeline.
+
+pages(url, warc_ts, html, [text], lang)
+  → resume-prune (anti-filter completed source buckets — BEFORE the
+    expensive stages, so a resumed run re-reads only missing buckets)
+  → extract text        (vectorized pandas UDF, the only Python stage)
+  → lift triples        (microdata/RDFa/JSON-LD islands, P1 coercion)
+  → SHACL validate      (SQL predicates → violations table)
+  → link mentions       (n-gram candidates × broadcast alias dict)
+  → canonicalize        (sameAs CC label propagation + dedup)
+  → materialize         (bucketed parquet + manifest + lineage)
+
+Per-stage lineage rows mirror the reference's per-step duration logging
+(/root/reference/cli/session.py:338-352 ``_timed``).
+
+The pipeline is lazy end-to-end until materialize; stage row counts are
+collected from the materialized outputs (one extra partition-pruned
+scan), not from mid-plan ``.count()`` actions that would re-execute the
+expensive prefix.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyclegraph_spark.extract.text import extract_text_udf
+from cyclegraph_spark.operators.cc import canonicalize_triples, connected_components
+from cyclegraph_spark.operators.linking import link_mentions
+from cyclegraph_spark.operators.shacl import NodeShape, validate
+from cyclegraph_spark.operators.triples import OWL_SAMEAS, lift_html_pages
+from cyclegraph_spark.plans.materialize import (
+    CheckpointManifest,
+    append_lineage,
+    materialize_triples,
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    shapes: list[NodeShape] | None = None,
+    aliases: DataFrame | None = None,
+    n_buckets: int = 32,
+) -> dict:
+    """Run the factory; returns per-stage metrics {stage: {rows, sec}}."""
+    os.makedirs(out_dir, exist_ok=True)
+    metrics: dict[str, dict] = {}
+
+    # --- resume prune on source bucket (high-watermark analog)
+    done = CheckpointManifest(out_dir).completed()
+    pages = pages.withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+    )
+    if done:
+        pages = pages.filter(~F.col("part_id").isin(*[int(d) for d in done]))
+
+    # --- extract (skipped when the corpus already carries text)
+    if "text" not in pages.columns:
+        pages = pages.withColumn("text", extract_text_udf(F.col("html")))
+
+    # --- lift
+    triples = lift_html_pages(pages).withColumn(
+        "part_id", F.pmod(F.xxhash64(F.col("src")), F.lit(n_buckets)).cast("int")
+    )
+
+    # --- canonicalize (CC over sameAs edges, then rewrite + dedup)
+    t0 = time.time()
+    edges = triples.filter(F.col("pred") == OWL_SAMEAS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    labels = connected_components(edges)
+    canon = canonicalize_triples(triples, labels, keep_cols=("src", "part_id"))
+    metrics["cc"] = {"sec": round(time.time() - t0, 3)}
+
+    # --- materialize canonical triples (manifest + lineage; bucket =
+    # provenance/url bucket so resume-prune and manifest ids agree)
+    t0 = time.time()
+    res = materialize_triples(
+        canon, out_dir, run_id, n_buckets=n_buckets, stage="materialize"
+    )
+    metrics["materialize"] = {
+        "rows": res["rows"],
+        "sec": round(time.time() - t0, 3),
+        "written": res["written"],
+        "skipped": res["skipped"],
+    }
+
+    # --- validate (over the materialized store: partition-pruned scan)
+    if shapes:
+        t0 = time.time()
+        store = spark.read.parquet(os.path.join(out_dir, "data"))
+        report = validate(store, shapes)
+        report.write.mode("overwrite").parquet(os.path.join(out_dir, "violations"))
+        n = spark.read.parquet(os.path.join(out_dir, "violations")).count()
+        metrics["validate"] = {"rows": n, "sec": round(time.time() - t0, 3)}
+
+    # --- link (mentions over extracted text)
+    if aliases is not None:
+        t0 = time.time()
+        links = link_mentions(pages.select("url", "text"), aliases)
+        links.write.mode("append").parquet(os.path.join(out_dir, "links"))
+        n = spark.read.parquet(os.path.join(out_dir, "links")).count()
+        metrics["link"] = {"rows": n, "sec": round(time.time() - t0, 3)}
+
+    append_lineage(
+        out_dir,
+        [
+            {"run_id": run_id, "stage": k, **{kk: vv for kk, vv in v.items() if kk != "written"}}
+            for k, v in metrics.items()
+        ],
+    )
+    return metrics

@@ -1,0 +1,112 @@
+"""M4/M5 — entity linking + connected-components parity and determinism."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cyclegraph_spark.operators.cc import (
+    canonicalize_triples,
+    connected_components,
+    reference_components,
+)
+from cyclegraph_spark.operators.linking import (
+    link_mentions,
+    link_mentions_window,
+    reference_link,
+)
+from cyclegraph_spark.sources.pages import alias_df, build_alias_rows, pages_with_text
+
+EDGE_SCHEMA = T.StructType(
+    [T.StructField("src", T.StringType()), T.StructField("dst", T.StringType())]
+)
+
+
+def test_link_parity_with_oracle(spark):
+    n = 120
+    aliases = alias_df(spark, n_entities=200)
+    alias_rows = build_alias_rows(n_entities=200)
+    pages = pages_with_text(spark, n, n_entities=200, partitions=4).select("url", "text")
+
+    got_rows = link_mentions(pages, aliases).collect()
+    got = {(r.url, r.pos, r.alias, r.entity_id, r.score) for r in got_rows}
+
+    exp = set()
+    for r in pages.collect():
+        for pos, alias, eid, score in reference_link(r.text, alias_rows):
+            exp.add((r.url, pos, alias, eid, score))
+
+    assert got == exp, (
+        f"missing={sorted(exp - got)[:3]} extra={sorted(got - exp)[:3]}"
+    )
+    # window variant computes the same relation
+    got_w = {
+        (r.url, r.pos, r.alias, r.entity_id, r.score)
+        for r in link_mentions_window(pages, aliases).collect()
+    }
+    assert got_w == got
+
+
+def test_link_deterministic_across_parallelism(spark):
+    aliases = alias_df(spark, n_entities=100)
+    out = []
+    for parts in (2, 8):
+        pages = pages_with_text(spark, 80, n_entities=100, partitions=parts).select(
+            "url", "text"
+        )
+        rows = link_mentions(pages, aliases).collect()
+        out.append(sorted((r.url, r.pos, r.entity_id, r.score) for r in rows))
+    assert out[0] == out[1]
+
+
+def test_cc_parity_chain_and_stars(spark):
+    edges = (
+        # chain a-b-c-d (diameter test)
+        [("b", "a"), ("c", "b"), ("d", "c")]
+        # star with hub z
+        + [("z", f"leaf{i}") for i in range(20)]
+        # singleton pair + disjoint component
+        + [("m", "n"), ("q", "p")]
+    )
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    got = {(r.id, r.component) for r in connected_components(df).collect()}
+    exp = set(reference_components(edges).items())
+    assert got == exp
+
+
+def test_cc_hot_entity_skew_from_corpus(spark):
+    """End-to-end: sameAs edges lifted from the corpus; hot entity e0000
+    appears on ~20% of pages → one big star component."""
+    from cyclegraph_spark.operators.triples import OWL_SAMEAS, lift_html_pages
+    from cyclegraph_spark.sources.pages import pages_df
+
+    triples = lift_html_pages(pages_df(spark, 400, partitions=8))
+    edges = triples.filter(F.col("pred") == OWL_SAMEAS).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    labels = connected_components(edges)
+    exp = reference_components([(r.src, r.dst) for r in edges.collect()])
+    got = {(r.id, r.component) for r in labels.collect()}
+    assert got == set(exp.items())
+
+    # the hot component has many members (site-local URIs from many sites)
+    sizes = labels.groupBy("component").count()
+    hot = sizes.orderBy(F.col("count").desc()).first()
+    assert "e0000" in hot.component or hot["count"] >= 50
+
+
+def test_canonicalize_triples_dedup(spark):
+    triples = spark.createDataFrame(
+        [
+            ("site1/ent/7", "p:knows", "site2/ent/9", "uri"),
+            ("kg/e7", "p:knows", "kg/e9", "uri"),  # same fact post-canon
+            ("kg/e7", "p:name", "Alice", "str"),
+        ],
+        T.StructType(
+            [T.StructField(c, T.StringType()) for c in ["subj", "pred", "obj", "obj_dtype"]]
+        ),
+    )
+    labels = spark.createDataFrame(
+        [("site1/ent/7", "kg/e7"), ("site2/ent/9", "kg/e9"), ("kg/e7", "kg/e7"), ("kg/e9", "kg/e9")],
+        T.StructType([T.StructField("id", T.StringType()), T.StructField("component", T.StringType())]),
+    )
+    out = {(r.subj, r.pred, r.obj) for r in canonicalize_triples(triples, labels).collect()}
+    assert out == {("kg/e7", "p:knows", "kg/e9"), ("kg/e7", "p:name", "Alice")}
