@@ -1,0 +1,243 @@
+"""Deduplication operators for web-scale corpora: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Reference analog: newest-wins dedup (O3, export13.py:96-106) and the
+canonical-key collapse (J3, sessions.py:284-414). Everything below is
+pure Column/SQL (xxhash64 is Spark's built-in 64-bit hash — JVM-side,
+deterministic across runs and cluster sizes).
+
+Scale notes (the part that matters at 100 TB):
+- exact: one shuffle on the 128-bit digest; survivors via min_by.
+- shingle Jaccard: explode(shingles) → self-join on shingle. The join
+  explodes on COMMON shingles, so we drop the most frequent shingles
+  (document-frequency cap) before joining — the standard stopword-
+  shingle cut that keeps the candidate set near-linear.
+- MinHash: k independent permutations approximated by xxhash64 with k
+  seeds; ONE aggregation produces all k mins (no k passes). LSH bands
+  hash b groups of r rows; candidates = equi-join on (band, bandhash) —
+  a pure hash-partition join, skew handled by AQE.
+- SimHash: 64-bit signature from per-token hash bit votes; one explode +
+  one aggregation; near-dups = hamming distance via bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_N = 3
+
+
+def shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingle array (distinct). Docs shorter than n tokens
+    yield an empty array (sequence(0, negative) would count DOWN in
+    Spark — guard with a when)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest; survivor = min id (deterministic).
+
+    Output: (fingerprint, keeper_id, n_dupes).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col))).alias("sh")
+    ).filter(F.col("sh") != "")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact word-trigram Jaccard similarity for candidate pairs.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    before the self-join (candidate-explosion guard at scale).
+    """
+    sh = _doc_shingles(df, id_col, text_col)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.countDistinct("doc").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    sizes = sh.groupBy("doc").agg(F.countDistinct("sh").alias("n_sh"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64
+) -> DataFrame:
+    """k-permutation MinHash signature per doc in ONE aggregation.
+
+    Output: (doc, sig: array<bigint> length k).
+    """
+    sh = _doc_shingles(df, id_col, text_col)
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    agg = sh.groupBy("doc").agg(*mins)
+    return agg.select("doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 16, rows: int = 4, est_threshold: float = 0.5
+) -> DataFrame:
+    """LSH banding over signatures → candidate pairs → similarity
+    ESTIMATE = fraction of agreeing signature positions.
+
+    Output: (doc_a, doc_b, est_jaccard >= est_threshold).
+    """
+    banded = signatures.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("sig", b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ])
+                    ).alias("bandhash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc", "sig", "bh.band", "bh.bandhash")
+
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bandhash"
+    )
+    b = banded.select(
+        F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bandhash"
+    )
+    cands = (
+        a.join(b, ["band", "bandhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda same: same
+        )
+    )
+    return (
+        cands.withColumn("est_jaccard", agree / F.size("sig_a"))
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit SimHash per doc (bit 63 left clear to stay non-negative).
+
+    Per-token 64-bit hash; each bit votes ±1 weighted by token frequency;
+    signature bit b = 1 iff vote sum > 0. One explode + one agg + one
+    projection — no UDF.
+    Output: (doc, simhash: bigint).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(63)
+    ]
+    agg = toks.groupBy("doc").agg(*votes)
+    sig = None
+    for b in range(63):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Blocking: equi-join on the top ``prefix_bits`` bits (docs differing
+    only in low bits collide), then exact hamming via bit_count(xor).
+    At scale use multiple rotations for full recall; one block here.
+    Output: (doc_a, doc_b, hamming <= max_hamming).
+    """
+    blocked = sigs.withColumn("block", F.shiftright("simhash", 63 - prefix_bits))
+    a = blocked.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("s_a"), "block")
+    b = blocked.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("s_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Single-node oracles for the pytest parity checks
+# --------------------------------------------------------------------------
+
+def reference_shingles(text: str, n: int = SHINGLE_N) -> set[str]:
+    toks = text.strip().split()
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def reference_jaccard(a: str, b: str, n: int = SHINGLE_N) -> float:
+    sa, sb = reference_shingles(a, n), reference_shingles(b, n)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)

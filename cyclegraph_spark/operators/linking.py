@@ -39,15 +39,21 @@ def candidate_ngrams(
     """→ (key_cols..., pos, n, gram): all 1..MAX_NGRAM-token windows."""
     grams = []
     for n in range(1, MAX_NGRAM + 1):
+        # guard: sequence(0, negative) counts DOWN in Spark — clamp the
+        # upper bound to 0 and filter out-of-range positions afterwards
+        # so short texts yield an empty (typed) candidate array
         grams.append(
             F.expr(
                 f"""
-                transform(
-                  sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {n}, -1)),
-                  i -> struct(
-                    i AS pos, {n} AS n,
-                    concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {n})) AS gram
-                  )
+                filter(
+                  transform(
+                    sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {n}, 0)),
+                    i -> struct(
+                      i AS pos, {n} AS n,
+                      concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {n})) AS gram
+                    )
+                  ),
+                  s -> s.pos <= size(split(trim({text_col}), '\\\\s+')) - {n}
                 )
                 """
             )

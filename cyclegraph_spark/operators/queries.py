@@ -38,11 +38,25 @@ def query(name: str, oracle: str | None = None):
 
 
 def all_queries() -> dict[str, QueryFn]:
+    _load_family_modules()
     return dict(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
+    _load_family_modules()
     return dict(_ORACLES)
+
+
+def _load_family_modules() -> None:
+    """Import the per-family query modules so their @query decorators
+    register (kept lazy to avoid circular imports at package load)."""
+    import importlib
+
+    for mod in ("queries_analytics", "queries_text"):
+        try:
+            importlib.import_module(f"cyclegraph_spark.operators.{mod}")
+        except ModuleNotFoundError:
+            pass
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,239 @@
+"""Text-analysis / dedup / similarity queries over ``documents`` and
+``embeddings`` — the training-data-pipeline operator family, each with a
+DuckDB oracle where SQL-expressible (MinHash/SimHash/LSH are registered
+as rows-only checks; their exactness parity lives in tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cyclegraph_spark.operators.queries import query
+from cyclegraph_spark.tables import load
+
+
+# --------------------------------------------------------------------------
+# token counting + quality features (JVM-only column math)
+# --------------------------------------------------------------------------
+@query(
+    "t_token_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           ROUND(AVG(length(text)::DOUBLE
+                 / GREATEST(len(string_split_regex(trim(text), '\\s+')), 1)), 4)
+             AS avg_token_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) aggregated per language."""
+    from cyclegraph_spark.operators.textstats import token_count
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+            F.round(
+                F.avg(
+                    F.length("text").cast("double") / F.greatest(n_tok, F.lit(1))
+                ),
+                4,
+            ).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "t_quality_features",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|is)\\b')) AS n_stopwords
+    FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+    """,
+)
+def t_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature extraction (length/punct/stopword counts)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.regexp_count("text", F.lit(r"[.,;:!?]")).alias("n_punct"),
+        F.regexp_count("text", F.lit(r"(?i)\b(the|and|of|to|is)\b")).alias(
+            "n_stopwords"
+        ),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# exact dedup by content digest
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact_md5",
+    oracle="""
+    WITH fp AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+             doc_id
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) - 1 AS n_dupes
+    FROM fp GROUP BY fingerprint
+    HAVING COUNT(*) > 0
+    ORDER BY keeper_id
+    """,
+)
+def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text, survivor = min doc_id."""
+    from cyclegraph_spark.operators.dedup import exact_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return exact_dedup(d).orderBy("keeper_id")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS doc, UNNEST(list_distinct(sh_list)) AS sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\\s+')[i],
+                        string_split_regex(trim(text), '\\s+')[i+1],
+                        string_split_regex(trim(text), '\\s+')[i+2]))
+               ELSE [] END AS sh_list
+        FROM documents
+      )
+    ), sizes AS (
+      SELECT doc, COUNT(DISTINCT sh) AS n_sh FROM sh GROUP BY doc
+    ), inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (sh)
+      WHERE a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard pairs (threshold tuned so the word-
+    salad corpus yields a non-empty answer — a 0-row parity is no
+    evidence)."""
+    from cyclegraph_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, threshold=0.12)
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# brute-force cosine top-k (correctness baseline for ANN)
+# --------------------------------------------------------------------------
+_QUERY_VEC_SQL = """
+    SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+"""
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS ({_QUERY_VEC_SQL})
+    SELECT e.vec_id,
+           ROUND(
+             list_dot_product(e.embedding::DOUBLE[], q.q)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.q, q.q))), 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY list_dot_product(e.embedding::DOUBLE[], q.q)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.q, q.q))) DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the vec_id=0 query vector.
+    zip_with/aggregate dot product in DOUBLE — JVM-side, no UDF."""
+    from cyclegraph_spark.operators.similarity import cosine_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_topk(e.filter(F.col("vec_id") != 0), qvec, k=10)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+# --------------------------------------------------------------------------
+# rows-only checks (non-SQL-expressible; parity in tests/test_dedup.py)
+# --------------------------------------------------------------------------
+@query("dedup_minhash_lsh")  # no oracle: hash-permutation semantics not in ANSI SQL
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16×4 LSH banding candidate pairs with estimated
+    Jaccard ≥ 0.1 (est threshold tuned to the word-salad corpus)."""
+    from cyclegraph_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, k=64)
+    return minhash_lsh_pairs(sigs, bands=16, rows=4, est_threshold=0.1).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("dedup_simhash")  # no oracle: bit-vote semantics not in ANSI SQL
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 16 of 63 bits, 8-bit block)."""
+    from cyclegraph_spark.operators.dedup import simhash, simhash_near_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash(d), max_hamming=16, prefix_bits=8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("ann_lsh_topk")  # no oracle: LSH probing not in ANSI SQL
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-restricted cosine top-10 (the ANN scale path)."""
+    from cyclegraph_spark.operators.similarity import lsh_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=8, probe_hamming=4)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+@query("t_lang_id")  # no oracle: argmax-over-markers CASE chain is verbose; parity in tests
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language-ID heuristic, confusion counts vs the
+    corpus lang label."""
+    from cyclegraph_spark.operators.textstats import lang_id
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )

@@ -1,0 +1,115 @@
+"""Parity + quality checks for the non-SQL dedup/similarity operators
+(MinHash LSH, SimHash, hyperplane-LSH ANN) against single-node oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyclegraph_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    reference_jaccard,
+    simhash,
+    simhash_near_pairs,
+)
+from cyclegraph_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+    reference_cosine_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def doc_texts(docs):
+    return {r.doc_id: r.text for r in docs.collect()}
+
+
+def test_ngram_jaccard_matches_oracle_exactly(spark, docs, doc_texts):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.12).collect()
+    }
+    assert len(got) > 0, "threshold too high — 0 pairs is no evidence"
+    for (a, b), j in got.items():
+        assert abs(j - reference_jaccard(doc_texts[a], doc_texts[b])) < 1e-9
+
+
+def test_minhash_estimates_jaccard(spark, docs, doc_texts):
+    sigs = minhash_signatures(docs, k=64)
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows=4, est_threshold=0.1).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        exact = reference_jaccard(doc_texts[r.doc_a], doc_texts[r.doc_b])
+        # 64-hash estimate: tolerance ~3σ = 3·sqrt(j(1-j)/64) ≤ 0.19
+        assert abs(r.est_jaccard - exact) <= 0.25, (
+            f"pair ({r.doc_a},{r.doc_b}): est {r.est_jaccard} vs exact {exact}"
+        )
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """Every truly-similar pair (jaccard >= 0.3) must be surfaced by LSH
+    with 16 bands × 4 rows (collision prob at j=0.3: 1-(1-0.3^4)^16 ≈ 0.12;
+    at j=0.5: ≈ 0.64; at j=0.7: ≈ 0.99) — so assert recall only at ≥0.7."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    sigs = minhash_signatures(docs, k=64)
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(sigs, bands=16, rows=4, est_threshold=0.0).collect()
+    }
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_deterministic_and_near_pairs(spark, docs):
+    s1 = {r.doc: r.simhash for r in simhash(docs).collect()}
+    s2 = {r.doc: r.simhash for r in simhash(docs.repartition(16)).collect()}
+    assert s1 == s2  # parallelism-invariant signatures
+    assert all(v >= 0 for v in s1.values())  # 63-bit, non-negative
+    pairs = simhash_near_pairs(simhash(docs), max_hamming=16, prefix_bits=8).collect()
+    assert all(r.hamming <= 16 for r in pairs)
+
+
+def test_cosine_topk_matches_oracle(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
+    query = next(v for vid, v in rows if vid == 0)
+    cands = [(vid, v) for vid, v in rows if vid != 0]
+
+    got = [(r.vec_id, r.cos_sim) for r in cosine_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10
+    ).collect()]
+    exp = reference_cosine_topk(cands, query, k=10)
+    assert [v for v, _ in got] == [v for v, _ in exp]
+    for (gv, gs), (ev, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-9
+
+
+def test_lsh_topk_subset_of_brute_force_ranking(spark):
+    """ANN results must be true cosines (no approximation of the score)
+    and rank consistently with brute force on the candidate subset."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute = {r.vec_id: r.cos_sim for r in cosine_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=500
+    ).collect()}
+    approx = [(r.vec_id, r.cos_sim) for r in lsh_topk(
+        emb.filter(F.col("vec_id") != 0), query, k=10, n_planes=8, probe_hamming=4
+    ).collect()]
+    assert len(approx) > 0
+    for vid, sim in approx:
+        assert abs(brute[vid] - sim) < 1e-9
+    # recall@10 of the ANN path: top-1 true neighbor should be found with
+    # 2-bit multiprobe on 8 planes most of the time; assert ≥ 3 of top 10
+    true_top = [vid for vid, _ in sorted(brute.items(), key=lambda t: (-t[1], t[0]))[:10]]
+    hit = len(set(vid for vid, _ in approx) & set(true_top))
+    assert hit >= 3, f"ANN recall too low: {hit}/10"

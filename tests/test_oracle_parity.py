@@ -15,6 +15,8 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _norm(v):
+    if v is None:
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -26,9 +28,13 @@ def _norm(v):
     return v
 
 
+def _key(t):
+    return tuple((type(x).__name__, str(x)) for x in t)
+
+
 def _rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=_key)
 
 
 @pytest.fixture(scope="module")
