@@ -261,17 +261,9 @@ def _parse_islands_udf(html: pd.Series) -> pd.Series:
     return html.map(parse_islands)
 
 
-def lift_html_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
-    """pages(url, html, ...) → triples(src, subj, pred, obj, obj_dtype).
-
-    Stage shape: scan → mapInArrow(parse) → explode → column coercion.
-    Narrow end-to-end (no shuffle); scales linearly with input splits.
-    """
-    raw = pages.select(
-        F.col(url_col).alias("src"),
-        F.explode(_parse_islands_udf(F.col("html"))).alias("t"),
-    ).select("src", "t.subj", "t.pred", "t.raw", "t.kind")
-
+def _coerce_raw_triples(raw: DataFrame) -> DataFrame:
+    """(src, subj, pred, raw, kind) → typed (src, subj, pred, obj,
+    obj_dtype); shared by the UDF and JVM parse paths."""
     pred_name = F.element_at(F.split(F.col("pred"), "/"), -1)
     # typed coercion per PROPERTY_RULES; unknown raw predicates → string
     obj = F.col("raw")
@@ -290,6 +282,149 @@ def lift_html_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
         .filter(F.col("obj").isNotNull())
         .select("src", "subj", "pred", "obj", "obj_dtype")
     )
+
+
+def lift_html_pages(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """pages(url, html, ...) → triples(src, subj, pred, obj, obj_dtype).
+
+    Stage shape: scan → pandas-UDF parse → explode → column coercion.
+    Narrow end-to-end (no shuffle); scales linearly with input splits.
+    This is the GENERAL path (arbitrary nesting, tolerant decode); the
+    hot path at scale is :func:`lift_html_pages_jvm`.
+    """
+    raw = pages.select(
+        F.col(url_col).alias("src"),
+        F.explode(_parse_islands_udf(F.col("html"))).alias("t"),
+    ).select("src", "t.subj", "t.pred", "t.raw", "t.kind")
+    return _coerce_raw_triples(raw)
+
+
+# Java-regex twins of the Python parser patterns (JVM path)
+_J_MICRO = r'(?s)<(\w+)[^>]*\bitemscope\b[^>]*\bitemtype="([^"]+)"[^>]*\bitemid="([^"]+)"[^>]*>(.*?)</\1\s*>'
+_J_MICRO_PROP = r'\bitemprop="([^"]+)"[^>]*>([^<]*)<'
+_J_RDFA = r'(?s)<(\w+)[^>]*\btypeof="([^"]+)"[^>]*\babout="([^"]+)"[^>]*>(.*?)</\1\s*>'
+_J_RDFA_PROP = r'\bproperty="(?:schema:)?([^"]+)"[^>]*\bcontent="([^"]*)"'
+_J_JSONLD = r'(?s)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script\s*>'
+
+# schema of the generator's JSON-LD island (the JVM path compiles a
+# shape-specific plan; arbitrary-nesting documents take the UDF path)
+_JSONLD_SCHEMA = (
+    "struct<`@id`:string, `@type`:string, identifier:string, "
+    "agent:array<struct<`@id`:string, sameAs:string>>>"
+)
+
+
+def _expand_col(term: Column) -> Column:
+    return F.when(
+        term.startswith("http://") | term.startswith("https://"), term
+    ).otherwise(
+        F.when(
+            term.startswith("schema:"),
+            F.concat(F.lit(SCHEMA), F.substring(term, 8, 100000)),
+        ).otherwise(F.concat(F.lit(SCHEMA), term))
+    )
+
+
+def lift_html_pages_jvm(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Pure-JVM island lifting — no Python worker at all.
+
+    Semantics-equivalent to :func:`lift_html_pages` on UTF-8 pages with
+    the generator's JSON-LD shape (parity-tested in tests/test_triples).
+
+    Plan shape: ONE projection builds the complete raw-triple array per
+    page (microdata + RDFa via regexp_extract_all + transform/flatten;
+    JSON-LD via from_json on a compiled schema) → ONE explode →
+    coercion. The html string is scanned once per island family in the
+    same pass — no union fan-out re-reading the scan, no Arrow hop.
+
+    MEASURED (sf-corpus 400k pages, local[8]): ~142k triples/s vs ~355k
+    for the pandas-UDF path — Java's backtracking DOTALL patterns with
+    backreferences lose to compiled sre + Arrow batching, and
+    regexp_extract re-matches the pattern once per extracted group. Kept
+    as the zero-Python alternative (e.g. Python-less executors); the UDF
+    path is the default hot path, which the input contract explicitly
+    permits (vectorized pandas/Arrow UDFs, no per-row Python).
+    """
+
+    def _island(pattern: str, prop_pattern: str) -> Column:
+        items = F.regexp_extract_all(F.col("h"), F.lit(pattern), F.lit(0))
+
+        def per_item(item: Column) -> Column:
+            itemid = F.regexp_extract(item, pattern, 3)
+            itemtype = _expand_col(F.regexp_extract(item, pattern, 2))
+            type_t = F.array(
+                F.struct(
+                    itemid.alias("subj"),
+                    F.lit(RDF_TYPE).alias("pred"),
+                    itemtype.alias("raw"),
+                    F.lit("uri").alias("kind"),
+                )
+            )
+            props = F.transform(
+                F.regexp_extract_all(item, F.lit(prop_pattern), F.lit(0)),
+                lambda p: F.struct(
+                    itemid.alias("subj"),
+                    _expand_col(F.regexp_extract(p, prop_pattern, 1)).alias("pred"),
+                    F.regexp_extract(p, prop_pattern, 2).alias("raw"),
+                    F.lit("raw").alias("kind"),
+                ),
+            )
+            return F.concat(type_t, props)
+
+        return F.flatten(F.transform(items, per_item))
+
+    j = F.from_json(F.regexp_extract(F.col("h"), _J_JSONLD, 1), _JSONLD_SCHEMA)
+
+    def _t(subj: Column, pred: str, raw: Column) -> Column:
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            raw.alias("raw"),
+            F.lit("uri").alias("kind"),
+        )
+
+    nid = j.getField("@id")
+    jsonld_triples = F.when(
+        j.isNotNull() & nid.isNotNull(),
+        F.concat(
+            F.when(
+                j.getField("@type").isNotNull(),
+                F.array(_t(nid, RDF_TYPE, _expand_col(j.getField("@type")))),
+            ).otherwise(F.expr("array()").cast(
+                "array<struct<subj:string,pred:string,raw:string,kind:string>>"
+            )),
+            F.when(
+                j.getField("identifier").isNotNull(),
+                F.array(_t(nid, SCHEMA + "identifier", j.getField("identifier"))),
+            ).otherwise(F.expr("array()").cast(
+                "array<struct<subj:string,pred:string,raw:string,kind:string>>"
+            )),
+            F.transform(
+                F.filter(
+                    F.coalesce(j.getField("agent"), F.expr("array()").cast(
+                        "array<struct<`@id`:string,sameAs:string>>"
+                    )),
+                    lambda a: a.getField("@id").isNotNull()
+                    & a.getField("sameAs").isNotNull(),
+                ),
+                lambda a: _t(a.getField("@id"), OWL_SAMEAS, a.getField("sameAs")),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast(
+        "array<struct<subj:string,pred:string,raw:string,kind:string>>"
+    ))
+
+    all_triples = F.concat(
+        _island(_J_MICRO, _J_MICRO_PROP), _island(_J_RDFA, _J_RDFA_PROP), jsonld_triples
+    )
+    raw = (
+        pages.select(
+            F.col(url_col).alias("src"), F.col("html").cast("string").alias("h")
+        )
+        .select("src", F.explode(all_triples).alias("t"))
+        .select("src", "t.subj", "t.pred", "t.raw", "t.kind")
+    )
+    return _coerce_raw_triples(raw)
 
 
 # --------------------------------------------------------------------------
