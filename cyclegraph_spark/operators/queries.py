@@ -52,7 +52,7 @@ def _load_family_modules() -> None:
     register (kept lazy to avoid circular imports at package load)."""
     import importlib
 
-    for mod in ("queries_analytics", "queries_text"):
+    for mod in ("queries_analytics", "queries_text", "queries_metrics"):
         try:
             importlib.import_module(f"cyclegraph_spark.operators.{mod}")
         except ModuleNotFoundError:
