@@ -52,7 +52,7 @@ def _load_family_modules() -> None:
     register (kept lazy to avoid circular imports at package load)."""
     import importlib
 
-    for mod in ("queries_analytics", "queries_text", "queries_metrics"):
+    for mod in ("queries_analytics", "queries_text", "queries_metrics", "queries_kg"):
         try:
             importlib.import_module(f"cyclegraph_spark.operators.{mod}")
         except ModuleNotFoundError:
