@@ -248,6 +248,45 @@ def j7_grid_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# J3 — canonical weather-key dedup (sessions.py:284-414, weather.rs:45-84)
+# --------------------------------------------------------------------------
+@query(
+    "j3_canonical_key_cache",
+    oracle="""
+    WITH sessions AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS hour_key,
+             ROUND(QUANTILE_CONT(value, 0.5), 1) AS med_value
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(DISTINCT (hour_key, med_value)) AS n_distinct_keys,
+           ROUND(1.0 - COUNT(DISTINCT (hour_key, med_value))::DOUBLE / COUNT(*), 4)
+             AS cache_hit_rate
+    FROM sessions
+    """,
+)
+def j3_canonical_key_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: canonical key = (hour-floored start, rounded median coordinate)
+    — dedup-before-join collapses near-duplicate lookups; the hit rate is
+    the fraction of sessions served by an already-seen key (the keyed
+    memo-cache + ≥95% hit DoD idiom, re-expressed as distinct-key
+    pre-aggregation)."""
+    ev = load(spark, sf_dir, "events")
+    sessions = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min(F.col("ts").cast("timestamp"))).alias("hour_key"),
+        F.round(F.percentile("value", 0.5), 1).alias("med_value"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("hour_key", "med_value").alias("n_distinct_keys"),
+        F.round(
+            1.0 - F.countDistinct("hour_key", "med_value") / F.count(F.lit(1)), 4
+        ).alias("cache_hit_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # W2/A6 — PrecisionWatt: rolling residual IQR sigma (metrics.rs:309-370)
 # --------------------------------------------------------------------------
 @query(
