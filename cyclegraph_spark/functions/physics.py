@@ -172,6 +172,21 @@ def with_power_model(
     )
 
 
+def fill_missing_watts(
+    watts: Column,
+    v_ms: Column,
+    mass: float = 75.0,
+    crr: float = 0.005,
+    cda: float = 0.30,
+    rho: float = 1.225,
+) -> Column:
+    """P18 (/root/reference/cli/session_api.py:219-226): when watts is
+    NULL, estimate ½ρCdA·v³ + m·g·crr·v with the default profile."""
+    v = F.greatest(v_ms, F.lit(0.0))
+    model = 0.5 * rho * cda * F.pow(v, 3) + mass * G * crr * v
+    return F.coalesce(watts, model)
+
+
 def indoor_power(
     v_ms: Column,
     device_watts: Column,

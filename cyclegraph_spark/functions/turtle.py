@@ -1,0 +1,75 @@
+"""S10 — Turtle serialization of a triple DataFrame.
+
+The reference serializes via rdflib (/root/reference/cli/csv_to_rdf.py:
+79-92, prefix binding :80). rdflib isn't available in this environment,
+so this is a from-scratch deterministic serializer for the engine's
+triple model (subj, pred, obj, obj_dtype): grouped by subject, sorted
+(subject, predicate, object) — the sorted-glob/stable-order discipline —
+with prefix compaction for the bound namespaces.
+
+Intended for fixture-scale output (tests, goldens): callers collect a
+SMALL DataFrame and serialize driver-side; the at-scale sink is the
+bucketed parquet store (plans/materialize.py).
+"""
+
+from __future__ import annotations
+
+PREFIXES = {
+    "cg": "https://cyclegraph.dev/ns#",
+    "act": "https://cyclegraph.dev/activity/",
+    "smp": "https://cyclegraph.dev/sample/",
+    "schema": "http://schema.org/",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+}
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _compact(uri: str) -> str:
+    for pfx, ns in PREFIXES.items():
+        if uri.startswith(ns):
+            local = uri[len(ns):]
+            if local and all(c.isalnum() or c in "_-." for c in local):
+                return f"{pfx}:{local}"
+    return f"<{uri}>"
+
+
+def _term(obj: str, obj_dtype: str) -> str:
+    if obj_dtype == "uri":
+        return _compact(obj)
+    escaped = obj.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    if obj_dtype and obj_dtype.startswith(_XSD):
+        return f'"{escaped}"^^{_compact(obj_dtype)}'
+    return f'"{escaped}"'
+
+
+def to_turtle(rows: list[tuple[str, str, str, str]]) -> str:
+    """[(subj, pred, obj, obj_dtype)] → Turtle text, deterministic.
+
+    Grouped per subject with ';' continuation, sorted everywhere.
+    """
+    used = sorted({p for p in PREFIXES})
+    out = [f"@prefix {p}: <{PREFIXES[p]}> ." for p in used]
+    out.append("")
+    by_subj: dict[str, list[tuple[str, str, str]]] = {}
+    for s, p, o, d in rows:
+        by_subj.setdefault(s, []).append((p, o, d))
+    for subj in sorted(by_subj):
+        triples = sorted(set(by_subj[subj]))
+        lines = [f"{_compact(subj)} {_compact(triples[0][0])} {_term(triples[0][1], triples[0][2])}"]
+        for p, o, d in triples[1:]:
+            lines.append(f"    {_compact(p)} {_term(o, d)}")
+        out.append(" ;\n".join(lines) + " .")
+        out.append("")
+    return "\n".join(out).rstrip() + "\n"
+
+
+def dataframe_to_turtle(triples_df) -> str:
+    """Collect a SMALL triple DataFrame and serialize (fixture path)."""
+    rows = [
+        (r["subj"], r["pred"], r["obj"], r["obj_dtype"])
+        for r in triples_df.select("subj", "pred", "obj", "obj_dtype").collect()
+    ]
+    return to_turtle(rows)

@@ -447,6 +447,52 @@ def a2_time_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A3 — time-weighted mean over MOVING samples only (py/mod.rs:346-382)
+# --------------------------------------------------------------------------
+@query(
+    "a3_tw_mean_moving_only",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, value, event_type,
+             floor(epoch(ts)) - LAG(floor(epoch(ts))) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt) / SUM(dt), 4) AS tw_mean_moving
+    FROM lagged
+    WHERE dt IS NOT NULL AND dt > 0 AND event_type = 'view' AND value > 0.5
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def a3_tw_mean_moving_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: same Σ(x·dt)/Σdt but filtered to moving samples
+    (moving && v > 0.5 analog: event_type='view' && value > 0.5)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "value",
+        "event_type",
+        (F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)).alias("dt"),
+    ).filter(
+        F.col("dt").isNotNull()
+        & (F.col("dt") > 0)
+        & (F.col("event_type") == "view")
+        & (F.col("value") > 0.5)
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias(
+                "tw_mean_moving"
+            )
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # A7 — filtered avg with source tag (py/mod.rs:582-614)
 # --------------------------------------------------------------------------
 @query(

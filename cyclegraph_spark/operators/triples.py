@@ -185,23 +185,24 @@ def _expand(term: str) -> str:
     return SCHEMA + term
 
 
-def _walk_jsonld(node, out: list[tuple[str, str, str]]) -> None:
+def _walk_jsonld(node, out: list[tuple[str, str, str, str]]) -> None:
     if isinstance(node, dict):
         nid = node.get("@id")
         if nid:
             ntype = node.get("@type")
             if isinstance(ntype, str):
-                out.append((nid, RDF_TYPE, _expand(ntype)))
+                out.append((nid, RDF_TYPE, _expand(ntype), "uri"))
             same = node.get("sameAs")
             if isinstance(same, str):
-                out.append((nid, OWL_SAMEAS, same))
+                out.append((nid, OWL_SAMEAS, same, "uri"))
             elif isinstance(same, list):
                 for s in same:
                     if isinstance(s, str):
-                        out.append((nid, OWL_SAMEAS, s))
+                        out.append((nid, OWL_SAMEAS, s, "uri"))
             ident = node.get("identifier")
             if isinstance(ident, str):
-                out.append((nid, SCHEMA + "identifier", ident))
+                # string literal, not a URI (rdflib Literal semantics)
+                out.append((nid, SCHEMA + "identifier", ident, "raw"))
         for v in node.values():
             _walk_jsonld(v, out)
     elif isinstance(node, list):
@@ -238,9 +239,9 @@ def parse_islands(html: bytes | None) -> list[tuple[str, str, str, str]]:
             doc = json.loads(m.group(1))
         except (json.JSONDecodeError, ValueError):
             continue  # tolerant-parse discipline (t11_matrix.py:106-158 analog)
-        tl: list[tuple[str, str, str]] = []
+        tl: list[tuple[str, str, str, str]] = []
         _walk_jsonld(doc, tl)
-        out.extend((s_, p_, o_, "uri") for s_, p_, o_ in tl)
+        out.extend(tl)
     return out
 
 
@@ -395,7 +396,14 @@ def lift_html_pages_jvm(pages: DataFrame, url_col: str = "url") -> DataFrame:
             )),
             F.when(
                 j.getField("identifier").isNotNull(),
-                F.array(_t(nid, SCHEMA + "identifier", j.getField("identifier"))),
+                F.array(
+                    F.struct(
+                        nid.alias("subj"),
+                        F.lit(SCHEMA + "identifier").alias("pred"),
+                        j.getField("identifier").alias("raw"),
+                        F.lit("raw").alias("kind"),  # string literal
+                    )
+                ),
             ).otherwise(F.expr("array()").cast(
                 "array<struct<subj:string,pred:string,raw:string,kind:string>>"
             )),
