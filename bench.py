@@ -181,6 +181,32 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
 
+    # full factory (extract→lift→CC→materialize→validate→link) stage
+    # timings on a 50k-page corpus — per-stage cost profile for the
+    # pipeline beyond the lift-throughput headline
+    import shutil
+    import tempfile
+
+    from cyclegraph_spark.plans.pipeline import run_pipeline
+    from cyclegraph_spark.sources.pages import alias_df, pages_df
+
+    pipe_out = os.path.join(tempfile.gettempdir(), "cyclegraph_bench_pipeline")
+    shutil.rmtree(pipe_out, ignore_errors=True)
+    t0 = time.time()
+    pm = run_pipeline(
+        spark,
+        pages_df(spark, 50_000, partitions=KG_PARTS),
+        pipe_out,
+        run_id="bench",
+        aliases=alias_df(spark, 1000),
+        n_buckets=32,
+    )
+    pipeline_stats = {
+        "pages": 50_000,
+        "total_sec": round(time.time() - t0, 2),
+        **{k: {kk: vv for kk, vv in v.items() if kk in ("rows", "sec")} for k, v in pm.items()},
+    }
+
     corpus = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/cyclegraph_bench_pages")
     _gen_corpus(corpus)
     scale_n, scale_4n = _run_scale_interleaved(corpus)
@@ -193,6 +219,7 @@ def main() -> None:
         "unit": "triples/sec",
         "queries": qtimes,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline": pipeline_stats,
         "scaling": {
             "cores_n": 8,
             "cores_4n": 32,

@@ -175,14 +175,25 @@ def median_mad_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "last_n_orders",
     oracle="""
-    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts,
+           o_totalprice
     FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
     """,
 )
 def last_n_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 (cli/session.py:50-98 read_last_sessions): top-k by timestamp;
-    Spark plans this as TakeOrderedAndProject — no full sort."""
+    Spark plans this as TakeOrderedAndProject — no full sort. The
+    timestamp is emitted as a formatted string so the cross-engine value
+    hash can't be skewed by timezone/epoch representation."""
     o = load(spark, sf_dir, "orders")
-    return o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    ).limit(5)
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(5)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+            "o_totalprice",
+        )
+    )
