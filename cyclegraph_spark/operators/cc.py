@@ -42,8 +42,28 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    salt: int = 8,
+    hot_degree: int = 1000,
 ) -> DataFrame:
-    """edges(src, dst) → labels(id, component); component = min id."""
+    """edges(src, dst) → labels(id, component); component = min id.
+
+    Two scale levers beyond the basic loop:
+
+    - **Targeted salting** (``salt`` > 1): a hot vertex's edge rows all
+      hash to ONE reducer in the edges⨝labels shuffle (the
+      "Boris Johnson problem" — our corpus mentions one entity on ~20%
+      of pages). Senders with degree > ``hot_degree`` get their edges
+      spread over ``salt`` deterministic shards
+      (pmod(xxhash64(dst), salt)), and ONLY those few hot label rows are
+      replicated per shard — cold vertices pay nothing. Complements
+      AQE's skew-join (which needs its size thresholds tripped);
+      deterministic, so results are parallelism-invariant.
+    - **Frontier propagation**: after round 1 only vertices whose label
+      CHANGED last round send messages — an unchanged label was already
+      delivered to every neighbor in an earlier round and can't lower
+      their minimum again, so each round's join shrinks to the active
+      frontier (star-shaped sameAs clusters mostly converge in round 1).
+    """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -51,7 +71,29 @@ def connected_components(
     )
     # symmetrize once so each round is a single join direction
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+
+    # hot-sender detection (one pass): degree > hot_degree → salted path
+    hot = (
+        sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") > hot_degree)
+        .select(F.col("a").alias("hot_id"))
+        .localCheckpoint(eager=True)
+        if salt > 1
+        else None
+    )
+    use_salt = salt > 1 and not hot.isEmpty()
+    if use_salt:
+        sym_hot = (
+            sym.join(F.broadcast(hot), sym["a"] == hot["hot_id"], "left_semi")
+            .withColumn("shard", F.pmod(F.xxhash64("b"), F.lit(salt)).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        sym_cold = sym.join(
+            F.broadcast(hot), sym["a"] == hot["hot_id"], "left_anti"
+        ).localCheckpoint(eager=True)
+    else:
+        sym_cold = sym.localCheckpoint(eager=True)
+        sym_hot = None
 
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -59,15 +101,29 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    frontier = labels  # round 1: everyone sends
 
     for _ in range(max_iter):
-        # neighbor labels: for each edge (a,b), b receives label(a)
-        nbr = (
-            sym.join(labels, sym["a"] == labels["id"], "inner")
-            .select(F.col("b").alias("id"), F.col("component"))
-            .groupBy("id")
-            .agg(F.min("component").alias("nbr_min"))
+        senders = frontier
+        msgs = sym_cold.join(senders, sym_cold["a"] == senders["id"], "inner").select(
+            F.col("b").alias("id"), F.col("component")
         )
+        if use_salt:
+            # replicate ONLY hot senders' labels across shards
+            shards = senders.sparkSession.range(salt).select(
+                F.col("id").cast("int").alias("shard")
+            )
+            hot_senders = senders.join(
+                F.broadcast(hot), senders["id"] == hot["hot_id"], "left_semi"
+            ).crossJoin(F.broadcast(shards))
+            msgs_hot = sym_hot.join(
+                hot_senders,
+                (sym_hot["a"] == hot_senders["id"])
+                & (sym_hot["shard"] == hot_senders["shard"]),
+                "inner",
+            ).select(F.col("b").alias("id"), F.col("component"))
+            msgs = msgs.unionByName(msgs_hot)
+        nbr = msgs.groupBy("id").agg(F.min("component").alias("nbr_min"))
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
@@ -78,7 +134,8 @@ def connected_components(
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
         ).localCheckpoint(eager=True)  # truncate lineage every round
-        n_changed = new_labels.filter(F.col("changed")).count()
+        frontier = new_labels.filter(F.col("changed")).drop("changed")
+        n_changed = frontier.count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break

@@ -64,10 +64,17 @@ def run_pipeline(
     if "text" not in pages.columns:
         pages = pages.withColumn("text", extract_text_udf(F.col("html")))
 
-    # --- lift
-    triples = lift_html_pages(pages).withColumn(
-        "part_id", F.pmod(F.xxhash64(F.col("src")), F.lit(n_buckets)).cast("int")
+    # --- lift. Materialize ONCE (eager localCheckpoint): CC, canonicalize
+    # and the store write all consume `triples`; without this the
+    # extract+lift prefix would re-execute for each consumer (measured:
+    # the CC stage tripled in cost from lift recomputation).
+    t0 = time.time()
+    triples = (
+        lift_html_pages(pages)
+        .withColumn("part_id", F.pmod(F.xxhash64(F.col("src")), F.lit(n_buckets)).cast("int"))
+        .localCheckpoint(eager=True)
     )
+    metrics["lift"] = {"sec": round(time.time() - t0, 3)}
 
     # --- canonicalize (CC over sameAs edges, then rewrite + dedup)
     t0 = time.time()

@@ -72,6 +72,26 @@ def test_cc_parity_chain_and_stars(spark):
     assert got == exp
 
 
+def test_cc_salted_path_equals_unsalted(spark):
+    """Targeted salting (hot_degree low enough to trip on the corpus's
+    hot entity) must produce the identical labeling as the plain path."""
+    from cyclegraph_spark.operators.triples import OWL_SAMEAS, lift_html_pages
+    from cyclegraph_spark.sources.pages import pages_df
+
+    triples = lift_html_pages(pages_df(spark, 300, partitions=8))
+    edges = triples.filter(F.col("pred") == OWL_SAMEAS).select(
+        F.col("subj").alias("src"), F.col("dst_") if False else F.col("obj").alias("dst")
+    )
+    plain = {(r.id, r.component) for r in connected_components(edges, salt=0).collect()}
+    salted = {
+        (r.id, r.component)
+        for r in connected_components(edges, salt=8, hot_degree=10).collect()
+    }
+    assert plain == salted
+    exp = reference_components([(r.src, r.dst) for r in edges.collect()])
+    assert salted == set(exp.items())
+
+
 def test_cc_hot_entity_skew_from_corpus(spark):
     """End-to-end: sameAs edges lifted from the corpus; hot entity e0000
     appears on ~20% of pages → one big star component."""
