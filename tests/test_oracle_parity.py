@@ -11,7 +11,9 @@ import pytest
 import __spark_entry__ as entry_mod
 from cyclegraph_spark.tables import TESTDATA_TABLES
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _norm(v):
