@@ -21,7 +21,9 @@ SF0001 = "/root/testdata/sf0.001"
 def _arm(spark: SparkSession) -> None:
     """Make the package importable on driver + executors regardless of
     the caller's cwd/PYTHONPATH (--py-files discipline; see
-    cyclegraph_spark.session.ship_package)."""
+    cyclegraph_spark.session.ship_package), and pin the session timezone
+    to UTC — timestamp_ntz→epoch conversions in the queries must agree
+    with the UTC-naive DuckDB oracles whatever the host TZ is."""
     import os
     import sys
 
@@ -30,6 +32,7 @@ def _arm(spark: SparkSession) -> None:
         sys.path.insert(0, here)
     from cyclegraph_spark.session import ship_package
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ship_package(spark)
 
 
