@@ -187,6 +187,65 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (exact baseline, SQL oracle)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
+    LSH-bucketed variant = embedding_near_dups(n_planes>0), recall-tested
+    in tests/test_dedup.py)."""
+    from cyclegraph_spark.operators.similarity import embedding_near_dups
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dups(e, threshold=0.4)
+        .withColumn("cos_sim", F.round("cos_sim", 4))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (regex segmentation; RE2- and Java-compatible)
+# --------------------------------------------------------------------------
+_BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+"
+
+
+@query(
+    "t_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{_BPE_PATTERN.replace("'", "''")}')) AS n_bpe_tokens
+    FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id
+    """,
+)
+def t_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace + a BPE-ish regex segmenter
+    (GPT2-style contraction/letter/digit/punct classes, lookahead-free so
+    RE2 and Java agree)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # rows-only checks (non-SQL-expressible; parity in tests/test_dedup.py)
 # --------------------------------------------------------------------------
 @query("dedup_minhash_lsh")  # no oracle: hash-permutation semantics not in ANSI SQL
@@ -224,10 +283,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
-@query("t_lang_id")  # no oracle: argmax-over-markers CASE chain is verbose; parity in tests
+def _lang_id_oracle_sql() -> str:
+    """Generate the DuckDB twin of textstats.lang_id from the SAME marker
+    table (argmax over marker-hit counts; alphabetical-first tie-break;
+    'und' when all scores are zero)."""
+    from cyclegraph_spark.operators.textstats import LANG_MARKERS
+
+    scores = ",\n             ".join(
+        f"len(regexp_extract_all(text, '(?i)\\b({'|'.join(words)})\\b')) AS s_{lang}"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    langs = sorted(LANG_MARKERS)
+    g = "GREATEST(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{la} = {g} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT lang,
+             {scores}
+      FROM documents
+    )
+    SELECT lang, {case} AS lang_pred, COUNT(*) AS n
+    FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """
+
+
+@query("t_lang_id", oracle=_lang_id_oracle_sql())
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language-ID heuristic, confusion counts vs the
-    corpus lang label."""
+    corpus lang label; oracle generated from the same marker table."""
     from cyclegraph_spark.operators.textstats import lang_id
 
     d = load(spark, sf_dir, "documents")

@@ -108,6 +108,41 @@ def lsh_topk(
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim ≥ t).
+
+    ``n_planes`` = 0 → exact all-pairs (the correctness baseline; the
+    self-join is a broadcast/shuffle hash join on a constant TRUE? no —
+    we join on a 1-bucket key and filter, so at scale you MUST pass
+    n_planes > 0). ``n_planes`` > 0 → LSH-bucketed: candidates share a
+    sign-signature bucket, slashing pairs by ~2^planes at some recall
+    cost (near-dups at cos≥0.9 agree on most hyperplanes).
+    """
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_planes > 0:
+        dim = len(base.first()["v"])
+        planes = hyperplanes(dim, n_planes, seed)
+        base = base.withColumn("bucket", lsh_signature(F.col("v"), planes))
+    else:
+        base = base.withColumn("bucket", F.lit(0))
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_sim(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 # --------------------------------------------------------------------------
 # Single-node oracle
 # --------------------------------------------------------------------------

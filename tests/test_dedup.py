@@ -79,6 +79,31 @@ def test_simhash_deterministic_and_near_pairs(spark, docs):
     assert all(r.hamming <= 16 for r in pairs)
 
 
+def test_embedding_near_dups_lsh_recall(spark):
+    """LSH-bucketed near-dup pairs must be a subset of exact pairs with
+    exact cosine scores, and recall the top pair."""
+    from cyclegraph_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups(emb, threshold=0.4).collect()
+    }
+    assert len(exact) > 0
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_near_dups(emb, threshold=0.4, n_planes=4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9  # scores are true cosines
+    top_pair = max(exact, key=exact.get)
+    assert exact[top_pair] < 0.55  # random embeddings sanity
+    # 4-plane buckets keep vectors agreeing on all planes; the most
+    # similar pair should usually survive — assert non-trivial recall
+    assert len(lsh) >= max(1, len(exact) // 20)
+
+
 def test_cosine_topk_matches_oracle(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     rows = [(r.vec_id, list(r.embedding)) for r in emb.collect()]
