@@ -124,14 +124,31 @@ def connected_components(
             ).select(F.col("b").alias("id"), F.col("component"))
             msgs = msgs.unionByName(msgs_hot)
         nbr = msgs.groupBy("id").agg(F.min("component").alias("nbr_min"))
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+            (F.col("nbr_min") < F.col("component")).alias("changed"),
+        )
+        # pointer doubling (shortcutting): follow component → its own
+        # component once per round, turning O(chain length) convergence
+        # into O(log n) — the large-star idea from Kiveris et al. applied
+        # to the label table. One extra self-join per round.
+        ptr = stepped.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(nbr, "id", "left")
+            stepped.join(ptr, stepped["component"] == ptr["p_id"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
                 ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("changed"),
+                (
+                    F.col("changed")
+                    | (F.coalesce(F.col("p_comp"), F.col("component")) < F.col("component"))
+                ).alias("changed"),
             )
         ).localCheckpoint(eager=True)  # truncate lineage every round
         frontier = new_labels.filter(F.col("changed")).drop("changed")

@@ -128,6 +128,40 @@ def session_metrics(
     return out
 
 
+def session_metrics_auto(
+    samples: DataFrame,
+    act: str = "activity_id",
+    t: str = "t",
+    watts: str = "watts",
+    hr: str = "hr",
+    ftp: float | None = None,
+) -> DataFrame:
+    """Mixed-sampling-rate corpus: estimate hz per activity (S3), derive
+    the NP window = max(floor(30·hz), 1) per activity (metrics.rs:186-188),
+    and run one metric plan per DISTINCT window size, unioned.
+
+    The loop is over distinct window sizes — in practice a handful
+    (1 Hz, 0.5 Hz, 4 Hz devices), independent of row count, so this stays
+    a bounded number of plans, each fully distributed.
+    """
+    hz = estimate_hz(samples, act=act, t=t).select(
+        act,
+        F.greatest(F.floor(30.0 * F.col("hz")), F.lit(1)).cast("int").alias("win"),
+    )
+    windows = [r.win for r in hz.select("win").distinct().collect()]
+    with_win = samples.join(hz, act, "left").fillna({"win": 30})
+    parts = []
+    for w in sorted(windows) or [30]:
+        cohort = with_win.filter(F.col("win") == w).drop("win")
+        parts.append(
+            session_metrics(cohort, act=act, t=t, watts=watts, hr=hr, ftp=ftp, window=w)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Single-node twins (faithful ports of the cited reference semantics)
 # --------------------------------------------------------------------------

@@ -72,6 +72,16 @@ def test_cc_parity_chain_and_stars(spark):
     assert got == exp
 
 
+def test_cc_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 300-link path must converge well under the
+    chain length (O(log n) rounds; max_iter=15 would fail without it)."""
+    n = 300
+    edges = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(n)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    got = {(r.id, r.component) for r in connected_components(df, max_iter=15).collect()}
+    assert got == {(f"n{i:04d}", "n0000") for i in range(n + 1)}
+
+
 def test_cc_salted_path_equals_unsalted(spark):
     """Targeted salting (hot_degree low enough to trip on the corpus's
     hot entity) must produce the identical labeling as the plain path."""
