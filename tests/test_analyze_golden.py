@@ -1,0 +1,94 @@
+"""E2E analysis against the reference's OWN golden variant CSVs
+(tests/test_golden*.py analog, SURVEY.md §5): outdoor (GPS+speed+power),
+indoor (power only), hr-only (LIMITED mode) — required report fields
+(docs/schema.md:10-11), status/reason enums, and series invariants."""
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cyclegraph_spark.analyze import analyze_sessions, per_sample_series
+from cyclegraph_spark.sources.csv_sessions import read_session_csv
+
+DATA = Path("/root/reference/tests/data")
+
+REQUIRED = [
+    "session_id", "duration_s", "samples", "avg_power", "np", "if_", "vi",
+    "pa_hr", "w_per_beat", "precision_watt", "calibrated", "status",
+    "schema_version",
+]
+
+
+def _weather():
+    doc = json.loads((DATA / "golden_weather.json").read_text())
+    s0 = doc["samples"][0]
+    return {
+        "wind_ms": s0["wind_ms"],
+        "wind_dir_deg": s0["wind_dir_deg"],
+        "air_temp_c": s0["air_temp_c"],
+        "air_pressure_hpa": s0["air_pressure_hpa"],
+    }
+
+
+@pytest.fixture(scope="module")
+def golden_samples(spark):
+    parts = []
+    for name in ("golden_outdoor", "golden_indoor", "golden_hr_only"):
+        df = read_session_csv(spark, str(DATA / f"{name}.csv")).withColumn(
+            "activity_id", F.lit(name)
+        )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.cache()
+
+
+def test_reports_have_required_contract(spark, golden_samples):
+    reports = analyze_sessions(golden_samples, weather=_weather())
+    rows = {r.session_id: r for r in reports.collect()}
+    assert set(rows) == {"golden_outdoor", "golden_indoor", "golden_hr_only"}
+    for c in REQUIRED:
+        assert c in reports.columns, f"missing required field {c}"
+    assert all(r.schema_version == "0.7.0" for r in rows.values())
+
+    outdoor, indoor, hr_only = (
+        rows["golden_outdoor"], rows["golden_indoor"], rows["golden_hr_only"]
+    )
+    # analyzable sessions: full metric block, sane ranges, status enum
+    for r in (outdoor, indoor):
+        assert r.ok and r.np is not None and r.np > 0
+        assert 0 < r["if_"] < 2.0
+        # VI can dip below 1 when len≈window (warm-up rolling means sit
+        # below the session average — reference semantics, metrics.rs:199-204)
+        assert 0.5 < r.vi < 2.0
+        assert r.status in ("OK", "Lav effekt", "Høy puls")
+    # LIMITED mode (lib.rs:75-81): no power stream
+    assert hr_only.ok is False
+    assert hr_only.reason == "no_power_stream"
+    assert hr_only.status == "LIMITED"
+    assert hr_only.np is None
+
+
+def test_outdoor_series_invariants(spark, golden_samples):
+    """tests/test_golden.py:54-112 analog: v_rel > v_mid − wind_rel-ish
+    invariants on the outdoor series, computed with the golden weather."""
+    outdoor = golden_samples.filter(F.col("activity_id") == "golden_outdoor")
+    series = per_sample_series(outdoor, weather=_weather()).collect()
+    assert len(series) > 0
+    for r in series:
+        v = max(r.v_ms or 0.0, 0.0)
+        assert r.v_rel >= 0.1 - 1e-9  # floor clamp (physics.rs:280)
+        assert abs(r.v_rel - max(v - r.wind_rel, 0.1)) < 1e-9
+        assert r.power >= 0.0
+
+
+def test_indoor_uses_device_watts(spark, golden_samples):
+    """Indoor (no speed): metrics must come from the device power stream,
+    not the physics model (which would be ~0 W at v=0)."""
+    reports = analyze_sessions(golden_samples)
+    indoor = next(r for r in reports.collect() if r.session_id == "golden_indoor")
+    # golden_indoor watts are ~190-260 range
+    assert indoor.avg_power > 100
