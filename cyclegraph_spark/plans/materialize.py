@@ -105,7 +105,20 @@ def materialize_triples(
         bt = bt.filter(~F.col("part_id").isin(*[int(d) for d in done]))
 
     t0 = time.time()
-    bt.write.partitionBy("part_id").mode("append").parquet(data_dir)
+    # DYNAMIC partition overwrite, not append: a bucket that is being
+    # (re)processed replaces its directory atomically on job commit, so
+    # replaying a crashed run (manifest never committed) cannot
+    # double-append rows; completed buckets are filtered out above and
+    # therefore never touched.
+    (
+        bt.write.partitionBy("part_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(data_dir)
+    )
+    # the overwrite replaced files under data_dir — drop the session's
+    # cached file listing or later reads resolve to deleted parquet parts
+    bt.sparkSession.catalog.refreshByPath(data_dir)
 
     # per-partition stats from what we just wrote (scan is partition-pruned
     # to the new buckets); bit_xor of row hashes = order-independent

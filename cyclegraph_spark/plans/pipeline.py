@@ -85,8 +85,30 @@ def run_pipeline(
     canon = canonicalize_triples(triples, labels, keep_cols=("src", "part_id"))
     metrics["cc"] = {"sec": round(time.time() - t0, 3)}
 
+    # --- link BEFORE the manifest commit, idempotently: links are
+    # partitioned by the same provenance bucket and written with DYNAMIC
+    # partition overwrite, so a crashed-then-resumed run rewrites exactly
+    # its buckets instead of double-appending. The checkpoint manifest
+    # (committed in materialize, below) is the LAST step — a bucket is
+    # only marked complete once every derived output for it has landed.
+    if aliases is not None:
+        t0 = time.time()
+        links = link_mentions(
+            pages.select("url", "text", "part_id"), aliases, key_cols=("url", "part_id")
+        ).select("url", "pos", "alias", "entity_id", "score", "part_id")
+        (
+            links.write.partitionBy("part_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(os.path.join(out_dir, "links"))
+        )
+        spark.catalog.refreshByPath(os.path.join(out_dir, "links"))
+        n = spark.read.parquet(os.path.join(out_dir, "links")).count()
+        metrics["link"] = {"rows": n, "sec": round(time.time() - t0, 3)}
+
     # --- materialize canonical triples (manifest + lineage; bucket =
-    # provenance/url bucket so resume-prune and manifest ids agree)
+    # provenance/url bucket so resume-prune and manifest ids agree).
+    # Commits the checkpoint manifest — completion marker for the run.
     t0 = time.time()
     res = materialize_triples(
         canon, out_dir, run_id, n_buckets=n_buckets, stage="materialize"
@@ -98,7 +120,9 @@ def run_pipeline(
         "skipped": res["skipped"],
     }
 
-    # --- validate (over the materialized store: partition-pruned scan)
+    # --- validate (a REPORT over the whole materialized store: full
+    # recompute + overwrite each run, so it is idempotent by design and
+    # correct even for subjects whose triples span buckets)
     if shapes:
         t0 = time.time()
         store = spark.read.parquet(os.path.join(out_dir, "data"))
@@ -106,14 +130,6 @@ def run_pipeline(
         report.write.mode("overwrite").parquet(os.path.join(out_dir, "violations"))
         n = spark.read.parquet(os.path.join(out_dir, "violations")).count()
         metrics["validate"] = {"rows": n, "sec": round(time.time() - t0, 3)}
-
-    # --- link (mentions over extracted text)
-    if aliases is not None:
-        t0 = time.time()
-        links = link_mentions(pages.select("url", "text"), aliases)
-        links.write.mode("append").parquet(os.path.join(out_dir, "links"))
-        n = spark.read.parquet(os.path.join(out_dir, "links")).count()
-        metrics["link"] = {"rows": n, "sec": round(time.time() - t0, 3)}
 
     append_lineage(
         out_dir,

@@ -113,10 +113,24 @@ def test_full_pipeline_and_compaction(spark, tmp_path):
     store = spark.read.parquet(out + "/data")
     assert store.filter(F.col("subj").contains("kg.example/entity/")).count() > 0
 
-    # resume: second run writes nothing new
-    m2 = run_pipeline(spark, pages, out, run_id="r2", n_buckets=8)
+    # resume: second run writes nothing new; links stay stable (dynamic
+    # overwrite with an empty frame touches no partitions)
+    n_links = spark.read.parquet(out + "/links").count()
+    m2 = run_pipeline(spark, pages, out, run_id="r2", n_buckets=8, aliases=aliases)
     assert m2["materialize"]["rows"] == 0
+    assert spark.read.parquet(out + "/links").count() == n_links
 
-    # compaction dedups globally and re-buckets by subject
+    # crash-replay: wipe the manifest (simulates dying before the commit)
+    # and re-run — neither links NOR store triples may double
+    # (idempotent dynamic partition overwrite on both writers)
+    n_store = spark.read.parquet(out + "/data").count()
+    os.remove(out + "/manifest.json")
+    run_pipeline(spark, pages, out, run_id="r3", n_buckets=8, aliases=aliases)
+    assert spark.read.parquet(out + "/links").count() == n_links
+    assert spark.read.parquet(out + "/data").count() == n_store
+
+    # compaction dedups globally and re-buckets by subject (re-read the
+    # store: the pre-replay DataFrame references replaced files)
+    store2 = spark.read.parquet(out + "/data")
     n = compact_store(spark, out, str(tmp_path / "compact"), n_buckets=8)
-    assert 0 < n <= store.select("subj", "pred", "obj", "obj_dtype").distinct().count()
+    assert 0 < n <= store2.select("subj", "pred", "obj", "obj_dtype").distinct().count()
