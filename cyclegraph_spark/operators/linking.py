@@ -68,33 +68,53 @@ def link_mentions(
     aliases: DataFrame,
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("url",),
+    context_weight: float = 0.1,
 ) -> DataFrame:
     """pages × alias(alias, entity_id, prior) → best link per mention.
 
     Output: (key_cols..., pos, alias, entity_id, score).
 
-    ``min_by`` key = struct(-n, -prior, entity_id): struct comparison is
-    lexicographic field-by-field, so the minimum is exactly (longest n,
-    highest prior, smallest entity_id) — deterministic at any
+    score = prior × (1 + context_weight·ln(1 + support)) where support =
+    number of OTHER candidate positions in the same document that also
+    propose this entity (coherence feature: an ambiguous alias resolves
+    toward the entity the rest of the document talks about — the
+    "prior × context features as columns" design from SURVEY.md M4).
+    Computed relationally: one groupBy (doc, entity) for support counts,
+    joined back — no second text pass.
+
+    Selection: ``min_by`` over struct(-n, -score, entity_id) — struct
+    comparison is lexicographic, so the minimum is exactly (longest n,
+    highest score, smallest entity_id) — deterministic at any
     parallelism.
     """
     cands = candidate_ngrams(pages, text_col, key_cols)
-    joined = cands.join(F.broadcast(aliases), cands["gram"] == aliases["alias"], "inner")
+    joined = cands.join(
+        F.broadcast(aliases), cands["gram"] == aliases["alias"], "inner"
+    )
+    # context support: per (doc, entity), number of candidate positions
+    support = joined.groupBy(*key_cols, "entity_id").agg(
+        F.countDistinct("pos").alias("_support_pos")
+    )
+    joined = joined.join(support, [*key_cols, "entity_id"], "left")
+    score = F.col("prior") * (
+        1.0
+        + context_weight * F.log(1.0 + (F.col("_support_pos") - 1).cast("double"))
+    )
     order_key = F.struct(
         (-F.col("n")).alias("neg_n"),
-        (-F.col("prior")).alias("neg_prior"),
+        (-score).alias("neg_score"),
         F.col("entity_id").alias("entity_id"),
     )
     payload = F.struct(
         F.col("alias").alias("alias"),
         F.col("entity_id").alias("entity_id"),
-        F.col("prior").alias("score"),
+        score.alias("score"),
     )
     w_keys = [*key_cols, "pos"]
     return (
         joined.groupBy(*w_keys)
         .agg(F.min_by(payload, order_key).alias("best"))
-        .select(*w_keys, "best.alias", "best.entity_id", "best.score")
+        .select(*w_keys, "best.alias", "best.entity_id", F.round("best.score", 6).alias("score"))
     )
 
 
@@ -103,18 +123,27 @@ def link_mentions_window(
     aliases: DataFrame,
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("url",),
+    context_weight: float = 0.1,
 ) -> DataFrame:
     """row_number variant of the same semantics (O3 keep-best idiom) —
     kept for plan comparison in tests/bench; one extra sort vs min_by."""
     cands = candidate_ngrams(pages, text_col, key_cols)
     joined = cands.join(F.broadcast(aliases), cands["gram"] == aliases["alias"])
+    support = joined.groupBy(*key_cols, "entity_id").agg(
+        F.countDistinct("pos").alias("_support_pos")
+    )
+    joined = joined.join(support, [*key_cols, "entity_id"], "left")
+    score = F.col("prior") * (
+        1.0
+        + context_weight * F.log(1.0 + (F.col("_support_pos") - 1).cast("double"))
+    )
     w = Window.partitionBy(*[*key_cols, "pos"]).orderBy(
-        F.col("n").desc(), F.col("prior").desc(), F.col("entity_id").asc()
+        F.col("n").desc(), score.desc(), F.col("entity_id").asc()
     )
     return (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(*key_cols, "pos", "alias", "entity_id", F.col("prior").alias("score"))
+        .select(*key_cols, "pos", "alias", "entity_id", F.round(score, 6).alias("score"))
     )
 
 
@@ -123,26 +152,46 @@ def link_mentions_window(
 # --------------------------------------------------------------------------
 
 def reference_link(
-    text: str, alias_rows: list[tuple[str, str, float]]
+    text: str,
+    alias_rows: list[tuple[str, str, float]],
+    context_weight: float = 0.1,
 ) -> list[tuple[int, str, str, float]]:
     """Pure-Python twin of link_mentions over one document.
 
-    Returns [(pos, alias, entity_id, score)] — best link per position.
+    Returns [(pos, alias, entity_id, score)] — best link per position,
+    score = prior × (1 + w·ln(1 + (support − 1))) with support = distinct
+    candidate positions proposing that entity in this document.
     """
+    import math
+
     by_alias: dict[str, list[tuple[str, float]]] = {}
     for a, e, p in alias_rows:
         by_alias.setdefault(a, []).append((e, p))
     toks = text.strip().split()
-    out: list[tuple[int, str, str, float]] = []
+
+    # pass 1: all candidates per position + per-entity support
+    per_pos: dict[int, list[tuple[int, float, str, str]]] = {}
+    support: dict[str, set[int]] = {}
     for pos in range(len(toks)):
-        cands: list[tuple[int, float, str, str]] = []
         for n in range(1, MAX_NGRAM + 1):
             if pos + n > len(toks):
                 break
             gram = " ".join(toks[pos : pos + n])
             for eid, prior in by_alias.get(gram, []):
-                cands.append((n, prior, eid, gram))
-        if cands:
-            n, prior, eid, gram = min(cands, key=lambda c: (-c[0], -c[1], c[2]))
-            out.append((pos, gram, eid, prior))
+                per_pos.setdefault(pos, []).append((n, prior, eid, gram))
+                support.setdefault(eid, set()).add(pos)
+
+    out: list[tuple[int, str, str, float]] = []
+    for pos in sorted(per_pos):
+        scored = [
+            (
+                n,
+                prior * (1.0 + context_weight * math.log(1.0 + (len(support[eid]) - 1))),
+                eid,
+                gram,
+            )
+            for n, prior, eid, gram in per_pos[pos]
+        ]
+        n, score, eid, gram = min(scored, key=lambda c: (-c[0], -c[1], c[2]))
+        out.append((pos, gram, eid, round(score, 6)))
     return out

@@ -45,6 +45,30 @@ def test_link_parity_with_oracle(spark):
     assert got_w == got
 
 
+def test_link_context_feature_flips_ambiguous_alias(spark):
+    """Document coherence: an ambiguous alias resolves to the entity the
+    rest of the document supports once ln-support outweighs the prior
+    gap (score = prior × (1 + 0.1·ln(1 + support−1)))."""
+    aliases = spark.createDataFrame(
+        [("X", "e9", 0.5), ("X", "e1", 0.45), ("B", "e1", 0.9)],
+        "alias string, entity_id string, prior double",
+    )
+    # 'X' once, 'B' (an e1 alias) four times → e1 support=5, e9 support=1
+    doc = [(u"d1", "X w B w B w B w B")]
+    pages = spark.createDataFrame(doc, "url string, text string")
+    links = {r.pos: r.entity_id for r in link_mentions(pages, aliases).collect()}
+    assert links[0] == "e1"  # flipped by context (prior alone picks e9)
+    # and with context off, the prior wins
+    links0 = {
+        r.pos: r.entity_id
+        for r in link_mentions(pages, aliases, context_weight=0.0).collect()
+    }
+    assert links0[0] == "e9"
+    # oracle agrees on the flip
+    got = reference_link("X w B w B w B w B", [("X", "e9", 0.5), ("X", "e1", 0.45), ("B", "e1", 0.9)])
+    assert got[0][2] == "e1"
+
+
 def test_link_deterministic_across_parallelism(spark):
     aliases = alias_df(spark, n_entities=100)
     out = []
