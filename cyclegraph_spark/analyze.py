@@ -98,7 +98,10 @@ def analyze_sessions(
         wind_to_deg=wx["wind_dir_deg"],
         air_temp_c=wx["air_temp_c"],
         air_pressure_hpa=wx["air_pressure_hpa"],
-    ).select(act, "t", "hr", "watts", "v_ms", "power", "wind_rel", "v_rel")
+    ).select(
+        act, "t", "hr", "watts", "v_ms", "power", "wind_rel", "v_rel",
+        "p_aero", "p_roll",
+    )
 
     enriched = modeled.join(modes, act, "left").withColumn(
         "watts_eff",
@@ -118,10 +121,16 @@ def analyze_sessions(
     duration = samples.groupBy(act).agg(
         (F.max("t") - F.min("t") + 1).alias("duration_s")
     )
+    # P7 decomposition: session-average drag/rolling watts (T11 fields)
+    components = analyzable.groupBy(act).agg(
+        F.round(F.avg("p_aero"), 4).alias("drag_watt"),
+        F.round(F.avg("p_roll"), 4).alias("rolling_watt"),
+    )
 
     report = (
         metrics.join(ftp_df, act, "left")
         .join(duration, act, "left")
+        .join(components, act, "left")
         .withColumn(
             "ftp", F.coalesce(F.lit(ftp).cast("double"), F.col("ftp_auto"), F.lit(DEFAULT_FTP))
         )
@@ -142,6 +151,8 @@ def analyze_sessions(
             F.lit(True).alias("ok"),
             F.lit("calibration_context_missing").alias("reason"),
             F.lit(SCHEMA_VERSION).alias("schema_version"),
+            "drag_watt",
+            "rolling_watt",
         )
     )
 
@@ -161,6 +172,8 @@ def analyze_sessions(
             F.lit(False).alias("ok"),
             F.lit("no_power_stream").alias("reason"),
             F.lit(SCHEMA_VERSION).alias("schema_version"),
+            F.lit(None).cast("double").alias("drag_watt"),
+            F.lit(None).cast("double").alias("rolling_watt"),
         )
     )
     return report.unionByName(limited)

@@ -168,6 +168,10 @@ def with_power_model(
         df.withColumn("power", p)
         .withColumn("wind_rel", walong)
         .withColumn("v_rel", vr)
+        # component series (P7 drag/rolling decomposition) — consumed by
+        # the T11 matrix and calibration diagnostics
+        .withColumn("p_aero", p_aero)
+        .withColumn("p_roll", p_roll)
         .drop("_heading", "_alt_s", "_dt_step", "_p_grav")
     )
 

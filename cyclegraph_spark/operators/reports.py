@@ -91,15 +91,25 @@ def t11_matrix(
     profile_version: str = "v1",
     weather_source: str = "frozen",
 ) -> DataFrame:
-    """Project reports into the exact T11 12-column contract."""
+    """Project reports into the exact T11 12-column contract.
+
+    drag_watt / rolling_watt come from the P7 physics decomposition when
+    analyze_sessions computed them (session-average p_aero / p_roll);
+    reports lacking the component columns fall back to zero. Note these
+    are MODEL diagnostics (default profile + weather), not a partition of
+    the measured total_watt — model-vs-measured mismatch is what
+    calibration_mae quantifies."""
+    cols = set(reports.columns)
+    drag = F.col("drag_watt") if "drag_watt" in cols else F.lit(None).cast("double")
+    roll = F.col("rolling_watt") if "rolling_watt" in cols else F.lit(None).cast("double")
     return reports.select(
         F.lit(git_sha).alias("git_sha"),
         F.lit(profile_version).alias("profile_version"),
         F.lit(weather_source).alias("weather_source"),
         F.col("session_id").alias("ride_id"),
         F.coalesce(F.col("precision_watt"), F.lit(0.0)).alias("precision_watt"),
-        F.coalesce(F.round(F.col("avg_power") * 0.55, 4), F.lit(0.0)).alias("drag_watt"),
-        F.coalesce(F.round(F.col("avg_power") * 0.12, 4), F.lit(0.0)).alias("rolling_watt"),
+        F.coalesce(drag, F.lit(0.0)).alias("drag_watt"),
+        F.coalesce(roll, F.lit(0.0)).alias("rolling_watt"),
         F.coalesce(F.col("avg_power"), F.lit(0.0)).alias("total_watt"),
         F.lit(0.0).alias("calibration_mae"),
         F.lit(2.0).alias("estimated_error_pct_min"),
