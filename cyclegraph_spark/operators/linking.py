@@ -91,28 +91,30 @@ def link_mentions(
     joined = cands.join(
         F.broadcast(aliases), cands["gram"] == aliases["alias"], "inner"
     )
-    # context support: per (doc, entity), number of candidate positions
-    support = joined.groupBy(*key_cols, "entity_id").agg(
-        F.countDistinct("pos").alias("_support_pos")
-    )
-    joined = joined.join(support, [*key_cols, "entity_id"], "left")
+    # context support: per (doc, entity), number of candidate positions —
+    # a whole-partition window instead of a groupBy+self-join, so the
+    # n-gram explode + broadcast join runs ONCE (a join back would
+    # recompute the candidate scan as the other join input)
+    w_support = Window.partitionBy(*key_cols, "entity_id")
+    support_pos = F.size(F.collect_set("pos").over(w_support))
     score = F.col("prior") * (
-        1.0
-        + context_weight * F.log(1.0 + (F.col("_support_pos") - 1).cast("double"))
+        1.0 + context_weight * F.log(1.0 + (support_pos - 1).cast("double"))
     )
+    # window result must be projected before the aggregate can use it
+    scored = joined.withColumn("_score", score)
     order_key = F.struct(
         (-F.col("n")).alias("neg_n"),
-        (-score).alias("neg_score"),
+        (-F.col("_score")).alias("neg_score"),
         F.col("entity_id").alias("entity_id"),
     )
     payload = F.struct(
         F.col("alias").alias("alias"),
         F.col("entity_id").alias("entity_id"),
-        score.alias("score"),
+        F.col("_score").alias("score"),
     )
     w_keys = [*key_cols, "pos"]
     return (
-        joined.groupBy(*w_keys)
+        scored.groupBy(*w_keys)
         .agg(F.min_by(payload, order_key).alias("best"))
         .select(*w_keys, "best.alias", "best.entity_id", F.round("best.score", 6).alias("score"))
     )
@@ -129,21 +131,22 @@ def link_mentions_window(
     kept for plan comparison in tests/bench; one extra sort vs min_by."""
     cands = candidate_ngrams(pages, text_col, key_cols)
     joined = cands.join(F.broadcast(aliases), cands["gram"] == aliases["alias"])
-    support = joined.groupBy(*key_cols, "entity_id").agg(
-        F.countDistinct("pos").alias("_support_pos")
-    )
-    joined = joined.join(support, [*key_cols, "entity_id"], "left")
+    w_support = Window.partitionBy(*key_cols, "entity_id")
     score = F.col("prior") * (
         1.0
-        + context_weight * F.log(1.0 + (F.col("_support_pos") - 1).cast("double"))
+        + context_weight
+        * F.log(1.0 + (F.size(F.collect_set("pos").over(w_support)) - 1).cast("double"))
     )
+    scored = joined.withColumn("_score", score)  # project before nesting
     w = Window.partitionBy(*[*key_cols, "pos"]).orderBy(
-        F.col("n").desc(), score.desc(), F.col("entity_id").asc()
+        F.col("n").desc(), F.col("_score").desc(), F.col("entity_id").asc()
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(*key_cols, "pos", "alias", "entity_id", F.round(score, 6).alias("score"))
+        .select(
+            *key_cols, "pos", "alias", "entity_id", F.round("_score", 6).alias("score")
+        )
     )
 
 

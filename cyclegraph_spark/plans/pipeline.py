@@ -60,9 +60,16 @@ def run_pipeline(
     if done:
         pages = pages.filter(~F.col("part_id").isin(*[int(d) for d in done]))
 
-    # --- extract (skipped when the corpus already carries text)
+    # --- extract (skipped when the corpus already carries text).
+    # Eagerly materialized: BOTH lift (html) and linking (text) consume
+    # pages — without the checkpoint the pandas-UDF extraction re-runs
+    # per consumer (measured: the link stage quadrupled).
+    t0 = time.time()
     if "text" not in pages.columns:
         pages = pages.withColumn("text", extract_text_udf(F.col("html")))
+    if aliases is not None:
+        pages = pages.localCheckpoint(eager=True)
+        metrics["extract"] = {"sec": round(time.time() - t0, 3)}
 
     # --- lift. Materialize ONCE (eager localCheckpoint): CC, canonicalize
     # and the store write all consume `triples`; without this the
