@@ -176,6 +176,52 @@ def with_power_model(
     )
 
 
+_TIRE_UNKNOWN = ("ukjent", "unknown", "vanlig", "standard", "normal", "default")
+_TIRE_TRAINING = (
+    "trening", "training", "trainer", "durable", "commuter", "winter",
+    "allseason", "puncture", "armour", "armored", "armoured", "gatorskin",
+    "marathon", "robust",
+)
+_TIRE_RACE = (
+    "race", "racing", "tt", "chrono", "fast", "supersonic", "cotton",
+    "latex", "tlr", "tubeless", "gp5000", "pro one", "corsa",
+)
+
+
+def crr_for_tire_quality(tire_quality: Column, base_crr: Column | float = 0.005) -> Column:
+    """§2.7 keyword classification (physics.rs:446-507): substring
+    keyword table → Crr adjustment, clamped [0.0025, 0.0120].
+
+    unknown/vanlig forms → base; training keywords → +0.0004;
+    race keywords → −0.0003; "cheap" → +0.0003. Precedence matches the
+    reference: unknown first, then training, then race, then cheap.
+    """
+    crr = F.lit(base_crr) if isinstance(base_crr, float) else base_crr
+    tq = F.lower(F.trim(tire_quality.cast("string")))
+
+    def _contains_any(words: tuple[str, ...]) -> Column:
+        cond = F.lit(False)
+        for w in words:
+            cond = cond | tq.contains(w)
+        return cond
+
+    is_unknown = (
+        tq.isNull()
+        | (tq == "")
+        | ~tq.rlike("[a-zA-Z]")
+        | _contains_any(_TIRE_UNKNOWN)
+        | tq.isin("1", "1.0", "none", "n/a", "na")
+    )
+    adjusted = (
+        F.when(is_unknown, crr)
+        .when(_contains_any(_TIRE_TRAINING), crr + 0.0004)
+        .when(_contains_any(_TIRE_RACE), crr - 0.0003)
+        .when(tq.contains("cheap"), crr + 0.0003)
+        .otherwise(crr)
+    )
+    return F.least(F.greatest(adjusted, F.lit(0.0025)), F.lit(0.0120))
+
+
 def fill_missing_watts(
     watts: Column,
     v_ms: Column,

@@ -78,6 +78,26 @@ def test_wind_sign_sanity(spark):
     assert head > calm > tail
 
 
+def test_crr_tire_keyword_classification(spark):
+    """physics.rs:446-507 keyword table: unknown→base, training→+0.0004,
+    race→−0.0003, cheap→+0.0003, clamp [0.0025, 0.0120]."""
+    from cyclegraph_spark.functions.physics import crr_for_tire_quality
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("", 0.005), ("ukjent", 0.005), ("1.0", 0.005), ("???", 0.005),
+        ("Gatorskin winter", 0.0054), ("Continental GP5000 TLR", 0.0047),
+        ("cheap rubber", 0.0053), ("marathon racing", 0.0054),  # training wins
+        ("exotic", 0.005),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "tq string")
+    got = [
+        round(r.crr, 6)
+        for r in df.select(crr_for_tire_quality(F.col("tq")).alias("crr")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
 def test_determinism_across_partitions(spark):
     rows = _ride(200)
     data = [("a", r["t"], r["v_ms"], r["altitude_m"], r["latitude"], r["longitude"]) for r in rows]
