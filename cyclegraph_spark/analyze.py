@@ -111,7 +111,9 @@ def analyze_sessions(
     )
 
     analyzable = enriched.filter(F.col("has_power") | F.col("has_speed"))
-    metrics = session_metrics(
+    from cyclegraph_spark.operators.metrics import session_metrics_auto
+
+    metrics = session_metrics_auto(
         analyzable.select(act, "t", F.col("watts_eff").alias("watts"), "hr"),
         act=act,
     )

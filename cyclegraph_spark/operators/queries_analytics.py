@@ -248,6 +248,41 @@ def j7_grid_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# A12+ — CUBE / grouping sets (SURVEY §2.5 note: free once the pivot
+# matrix grows beyond one dimension)
+# --------------------------------------------------------------------------
+@query(
+    "a12_cube_totals",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def a12_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the pivot dimensions — subtotals and the grand total in
+    one pass (partial aggregation per grouping set)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
 # J3 — canonical weather-key dedup (sessions.py:284-414, weather.rs:45-84)
 # --------------------------------------------------------------------------
 @query(
