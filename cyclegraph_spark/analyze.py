@@ -37,18 +37,32 @@ DEFAULT_FTP = 250.0
 
 
 def resolve_ftp(samples: DataFrame, act: str = "activity_id") -> DataFrame:
-    """FTP per activity: best 20-min avg power × 0.95 (W3), NULL when no
-    power stream — callers coalesce with explicit/default."""
+    """FTP per activity: best 20-min avg power × 0.95 (W3).
+
+    Window-acceptance floor (reference cli/analyze.py:233-236, duplicated
+    cli/session.py:624-630): a window only counts when its actual span
+    t_right − min(t in frame) + 1 ≥ 1195 s. Short sessions (and warm-up
+    frames of long sessions) never qualify; the reference then returns
+    best_avg = 0.0, which is falsy → explicit/default fallback. Here:
+    ftp_auto is NULL when no window qualifies OR the best average is 0 —
+    callers coalesce with explicit/default, reproducing that fallback.
+    """
     w = (
         Window.partitionBy(act)
         .orderBy(F.col("t"))
         .rangeBetween(-1199, 0)
     )
     rolled = samples.select(
-        act, F.avg("watts").over(w).alias("wavg")
+        act,
+        F.avg(F.coalesce(F.col("watts"), F.lit(0.0))).over(w).alias("wavg"),
+        (F.col("t") - F.min("t").over(w) + 1 >= 1195).alias("accepted"),
     )
-    return rolled.groupBy(act).agg(
-        (F.max("wavg") * 0.95).alias("ftp_auto")
+    best = rolled.groupBy(act).agg(
+        (F.max(F.when(F.col("accepted"), F.col("wavg"))) * 0.95).alias("ftp_auto")
+    )
+    # best_avg == 0.0 is falsy in the reference → treat as "no estimate"
+    return best.withColumn(
+        "ftp_auto", F.when(F.col("ftp_auto") > 0, F.col("ftp_auto"))
     )
 
 

@@ -368,29 +368,66 @@ def w2_precision_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w3_best_20min_window",
     oracle="""
+    -- acceptance floor (cli/analyze.py:233-236): a window only counts when
+    -- its actual span (t_right - min t in frame + 1) >= 1195 s; otherwise
+    -- the reference's best_avg stays 0.0 (warm-up/short sessions fall
+    -- through to the default FTP).
     WITH windowed AS (
       SELECT user_id,
-             AVG(value) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))
-                              RANGE BETWEEN 1199 PRECEDING AND CURRENT ROW) AS wavg
+             AVG(COALESCE(value, 0)) OVER (
+               PARTITION BY user_id ORDER BY floor(epoch(ts))
+               RANGE BETWEEN 1199 PRECEDING AND CURRENT ROW) AS wavg,
+             floor(epoch(ts)) - MIN(floor(epoch(ts))) OVER (
+               PARTITION BY user_id ORDER BY floor(epoch(ts))
+               RANGE BETWEEN 1199 PRECEDING AND CURRENT ROW) + 1 AS window_sec
       FROM events
     )
-    SELECT user_id, ROUND(MAX(wavg) * 0.95, 4) AS ftp_estimate
+    -- ROUND(wavg, 6) kills cross-engine summation noise; the final
+    -- FLOOR(x*1e4 + 0.5)/1e4 is half-up on the BINARY value — pure double
+    -- ops give bit-identical results on both engines, whereas ROUND(,4)
+    -- diverges on exact decimal ties like 15.465*0.95 = 14.69175
+    -- (DuckDB → .6918, Spark/Python → .6917).
+    SELECT user_id,
+           FLOOR(COALESCE(MAX(CASE WHEN window_sec >= 1195 THEN ROUND(wavg, 6) END),
+                          0.0) * 0.95 * 10000 + 0.5) / 10000 AS ftp_estimate
     FROM windowed GROUP BY user_id ORDER BY user_id
     """,
 )
 def w3_best_20min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: sliding ≤1200 s time window maximizing avg power, ×0.95 —
-    the two-pointer loop becomes a rangeBetween frame."""
+    the two-pointer loop (cli/analyze.py:215-237) becomes a rangeBetween
+    frame. The reference only ACCEPTS windows whose span
+    t_right − t_left + 1 ≥ 1195 s (analyze.py:233-236) — shorter frames
+    (warm-up, short sessions) don't count, and when no window qualifies
+    the estimate is 0.0 (callers fall through to the default FTP)."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-1199, 0)
     )
+    ts = F.unix_timestamp("ts")
     return (
-        ev.select("user_id", F.avg("value").over(w).alias("wavg"))
+        ev.select(
+            "user_id",
+            F.avg(F.coalesce(F.col("value"), F.lit(0.0))).over(w).alias("wavg"),
+            (ts - F.min(ts).over(w) + 1 >= 1195).alias("accepted"),
+        )
         .groupBy("user_id")
-        .agg(F.round(F.max("wavg") * 0.95, 4).alias("ftp_estimate"))
+        .agg(
+            (
+                F.floor(
+                    F.coalesce(
+                        F.max(F.when(F.col("accepted"), F.round(F.col("wavg"), 6))),
+                        F.lit(0.0),
+                    )
+                    * 0.95
+                    * 10000
+                    + 0.5
+                ).cast("double")
+                / 10000
+            ).alias("ftp_estimate")
+        )
         .orderBy("user_id")
     )
 
@@ -591,10 +628,12 @@ def a12_grouped_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a14_anomaly_checks",
     oracle="""
+    -- ::BIGINT casts: DuckDB SUM over integers yields HUGEINT (INT128);
+    -- Spark yields BIGINT — the value hash diverges on representation.
     SELECT event_type,
-           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS n_negative,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_null_key
+           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_key
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )

@@ -266,9 +266,10 @@ def _coerce_raw_triples(raw: DataFrame) -> DataFrame:
     """(src, subj, pred, raw, kind) → typed (src, subj, pred, obj,
     obj_dtype); shared by the UDF and JVM parse paths."""
     pred_name = F.element_at(F.split(F.col("pred"), "/"), -1)
-    # typed coercion per PROPERTY_RULES; unknown raw predicates → string
-    obj = F.col("raw")
-    dtype = F.lit(XSD_STRING)
+    # typed coercion per PROPERTY_RULES; unknown raw predicates take the
+    # STRING rule (trim + empty-skip), matching reference_lift_page — a
+    # bare F.col("raw") default would keep untrimmed/empty literals.
+    obj, dtype = coerce_literal(F.col("raw"), "string")
     for prop, rule in PROPERTY_RULES.items():
         o, d = coerce_literal(F.col("raw"), rule)
         cond = (F.col("kind") == "raw") & (pred_name == prop)

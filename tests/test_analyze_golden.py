@@ -92,3 +92,64 @@ def test_indoor_uses_device_watts(spark, golden_samples):
     indoor = next(r for r in reports.collect() if r.session_id == "golden_indoor")
     # golden_indoor watts are ~190-260 range
     assert indoor.avg_power > 100
+
+
+def _ramp_samples(spark, act_id: str, n_sec: int, watts: float = 300.0):
+    rows = [(act_id, t, watts, 120.0) for t in range(n_sec)]
+    return spark.createDataFrame(
+        rows, "activity_id string, t long, watts double, hr double"
+    )
+
+
+def test_ftp_floor_short_session_falls_back_to_default(spark):
+    """cli/analyze.py:233-236: windows with span < 1195 s are NOT accepted
+    — a 10-min ride has no qualifying window, so ftp_auto must be NULL and
+    the report falls back to DEFAULT_FTP (if_ = np / 250)."""
+    from cyclegraph_spark.analyze import DEFAULT_FTP, resolve_ftp
+
+    short = _ramp_samples(spark, "short", 600, watts=300.0)
+    ftp = resolve_ftp(short).collect()
+    assert len(ftp) == 1 and ftp[0].ftp_auto is None
+
+    report = next(
+        r for r in analyze_sessions(short).collect() if r.session_id == "short"
+    )
+    # constant 300 W: np == 300 → if_ must be computed against DEFAULT_FTP
+    assert report.np == pytest.approx(300.0, abs=1.0)
+    assert report["if_"] == pytest.approx(round(report.np / DEFAULT_FTP, 3), abs=1e-9)
+
+
+def test_ftp_floor_long_session_uses_auto_estimate(spark):
+    """A >=1195 s constant-power session qualifies: ftp_auto = 0.95 * avg."""
+    from cyclegraph_spark.analyze import resolve_ftp
+
+    long_ = _ramp_samples(spark, "long", 1400, watts=200.0)
+    ftp = {r.activity_id: r.ftp_auto for r in resolve_ftp(long_).collect()}
+    assert ftp["long"] == pytest.approx(0.95 * 200.0, abs=1e-6)
+
+
+def test_ftp_floor_matches_reference_twin(spark):
+    """Exact parity vs the reference two-pointer loop (estimate_ftp_20min95,
+    cli/analyze.py:215-237) on a ramp that makes warm-up windows the max:
+    watts DECREASE over time, so an unfloored implementation would pick an
+    early short window and overestimate."""
+    n = 1500
+    rows = [("ramp", t, 400.0 - 0.2 * t) for t in range(n)]
+    df = spark.createDataFrame(rows, "activity_id string, t long, watts double")
+    from cyclegraph_spark.analyze import resolve_ftp
+
+    got = resolve_ftp(df).collect()[0].ftp_auto
+
+    # reference twin (two-pointer with the 1195 s acceptance floor)
+    t = [r[1] for r in rows]
+    w = [r[2] for r in rows]
+    left, pow_sum, best = 0, 0.0, 0.0
+    for right in range(n):
+        pow_sum += w[right]
+        while t[right] - t[left] + 1.0 > 1200.0 and left < right:
+            pow_sum -= w[left]
+            left += 1
+        if t[right] - t[left] + 1.0 >= 1195.0:
+            avg = pow_sum / max(1.0, right - left + 1)
+            best = max(best, avg)
+    assert got == pytest.approx(best * 0.95, rel=1e-12)

@@ -106,3 +106,30 @@ def test_jvm_lift_parity_with_udf_lift(spark):
     a = {(r.src, r.subj, r.pred, r.obj, r.obj_dtype) for r in lift_html_pages(pg).collect()}
     b = {(r.src, r.subj, r.pred, r.obj, r.obj_dtype) for r in lift_html_pages_jvm(pg).collect()}
     assert a == b, f"missing={list(a - b)[:3]} extra={list(b - a)[:3]}"
+
+
+def test_out_of_dictionary_itemprop_parity(spark):
+    """Unknown raw predicates (not in PROPERTY_RULES) must take the string
+    rule — trim + empty-skip — exactly like reference_lift_page. Includes
+    empty and whitespace-only values (must yield NO triple) and a padded
+    value (must be trimmed)."""
+    html = (
+        '<div itemscope itemtype="http://schema.org/Thing" '
+        'itemid="https://x.example/t1">'
+        '<span itemprop="color"> deep blue </span>'
+        '<span itemprop="flavour"></span>'
+        '<span itemprop="texture">   </span>'
+        '<span itemprop="weightKg">12.5</span>'
+        "</div>"
+    ).encode("utf-8")
+    df = spark.createDataFrame([("u1", html)], "url string, html binary")
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in lift_html_pages(df).collect()
+    }
+    exp = reference_lift_page("u1", html)
+    assert got == exp
+    # the trimmed out-of-dictionary literal is present, empties are not
+    objs = {o for _, p, o, _ in got if p.endswith("color")}
+    assert objs == {"deep blue"}
+    assert not any(p.endswith(("flavour", "texture")) for _, p, _, _ in got)
