@@ -58,8 +58,13 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col))).alias("sh")
+    from cyclegraph_spark.tables import ensure_min_partitions
+
+    # small corpora arrive as 1-2 parquet splits — the explode (and every
+    # stage pipelined with it) would run on ONE task; widen first
+    # (no-op when the scan is already wide).
+    return ensure_min_partitions(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", F.explode(shingles(F.col(text_col))).alias("sh")
     ).filter(F.col("sh") != "")
 
 
@@ -183,8 +188,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     projection — no UDF.
     Output: (doc, simhash: bigint).
     """
-    toks = df.select(
-        F.col(id_col).alias("doc"),
+    from cyclegraph_spark.tables import ensure_min_partitions
+
+    toks = ensure_min_partitions(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select(
+        "doc",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     h = F.xxhash64(F.col("tok"))

@@ -119,11 +119,19 @@ def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE [] END AS sh_list
         FROM documents
       )
+    ), rare AS (
+      -- document-frequency cap (mirror of max_doc_freq=16): shingles in
+      -- more than 16 docs are boilerplate and are dropped BEFORE the
+      -- self-join — the candidate-explosion guard at scale
+      SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc) AS df FROM sh GROUP BY sh)
+      WHERE df <= 16
+    ), shf AS (
+      SELECT doc, sh FROM sh JOIN rare USING (sh)
     ), sizes AS (
-      SELECT doc, COUNT(DISTINCT sh) AS n_sh FROM sh GROUP BY doc
+      SELECT doc, COUNT(DISTINCT sh) AS n_sh FROM shf GROUP BY doc
     ), inter AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b USING (sh)
+      FROM shf a JOIN shf b USING (sh)
       WHERE a.doc < b.doc
       GROUP BY a.doc, b.doc
     )
@@ -139,12 +147,14 @@ def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard pairs (threshold tuned so the word-
     salad corpus yields a non-empty answer — a 0-row parity is no
-    evidence)."""
+    evidence). Gated with the SCALE-SAFE configuration: max_doc_freq=16
+    drops boilerplate shingles before the self-join (the cap is mirrored
+    in the oracle SQL, so parity covers the guarded plan)."""
     from cyclegraph_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(d, threshold=0.12)
+        ngram_jaccard_pairs(d, threshold=0.12, max_doc_freq=16)
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("doc_a", "doc_b")
     )
@@ -272,15 +282,92 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")  # no oracle: LSH probing not in ANSI SQL
+def _bucket_sql(vec_expr: str, n_planes: int, seed: int = 42) -> str:
+    """DuckDB twin of similarity.lsh_signature: the hyperplanes are
+    deterministic (seeded Gaussian, driver-side), so the sign-bit bucket
+    is SQL-expressible by inlining the plane literals."""
+    from cyclegraph_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(64, n_planes, seed)  # embeddings are dim-64
+    terms = [
+        f"CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(x) for x in p)}]::DOUBLE[]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv, {_bucket_sql('v', 8)} AS qsig FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.v, q.qv
+      FROM e CROSS JOIN q
+      WHERE e.vec_id != 0
+        AND bit_count(xor({_bucket_sql('e.v', 8)}, q.qsig)) <= 4
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 4) AS cos_sim
+    FROM cand
+    ORDER BY list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+             vec_id ASC
+    LIMIT 10
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH-restricted cosine top-10 (the ANN scale path)."""
+    """Hyperplane-LSH-restricted cosine top-10 (the ANN scale path).
+    The oracle inlines the seeded plane literals, so the full multiprobe
+    bucket filter + exact re-rank is under the DuckDB gate."""
     from cyclegraph_spark.operators.similarity import lsh_topk
 
     e = load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     out = lsh_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=8, probe_hamming=4)
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    -- the LSH-BUCKETED near-dup path (scale-safe configuration): pairs
+    -- must share the full sign-bit bucket, slashing the self-join from
+    -- all-pairs to per-bucket. Plane literals inlined (seed 42).
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql('embedding::DOUBLE[]', 4)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs on the LSH-BUCKETED plan (n_planes=4) —
+    the configuration that survives 100 TB (candidates shrink ~2^planes;
+    the bucket join is a plain hash join AQE can skew-split). The exact
+    all-pairs baseline stays gated as dedup_embedding_cosine; recall of
+    this path vs that baseline is asserted in tests/test_dedup.py."""
+    from cyclegraph_spark.operators.similarity import embedding_near_dups
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dups(e, threshold=0.4, n_planes=4)
+        .withColumn("cos_sim", F.round("cos_sim", 4))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def _lang_id_oracle_sql() -> str:

@@ -51,10 +51,13 @@ def cosine_topk(
     sort — Spark's top-k operator). Deterministic tie-break on id.
     Output: (vec_id, cos_sim).
     """
+    from cyclegraph_spark.tables import ensure_min_partitions
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_sim(F.col(vec_col), q)
     return (
-        embeddings.select(F.col(id_col).alias("vec_id"), sim.alias("cos_sim"))
+        ensure_min_partitions(embeddings)
+        .select(F.col(id_col).alias("vec_id"), sim.alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
@@ -125,7 +128,13 @@ def embedding_near_dups(
     sign-signature bucket, slashing pairs by ~2^planes at some recall
     cost (near-dups at cos≥0.9 agree on most hyperplanes).
     """
-    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    from cyclegraph_spark.tables import ensure_min_partitions
+
+    # widen narrow scans: the per-bucket self-join fans out of this frame,
+    # and a 1-split parquet read would serialize every cosine on one task
+    base = ensure_min_partitions(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
     if n_planes > 0:
         dim = len(base.first()["v"])
         planes = hyperplanes(dim, n_planes, seed)
