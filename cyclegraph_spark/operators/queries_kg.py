@@ -169,9 +169,16 @@ def kg_shacl_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# rows-only: HTML lift / linking / CC over the synthetic corpus
+# HTML lift / linking / CC over the seeded corpus, gated against literal
+# VALUES oracles generated by the single-node twins (parse_islands +
+# reference coercion, reference_link over extract_text, union-find) —
+# tools/gen_value_oracles.py; the inputs are pure functions of page id,
+# so the oracle tables are stable at any sf_dir.
 # --------------------------------------------------------------------------
-@query("kg_html_lift")  # rows-only: HTML parsing not ANSI-SQL-expressible
+from cyclegraph_spark.operators.oracles_values import VALUES_ORACLES
+
+
+@query("kg_html_lift", oracle=VALUES_ORACLES["kg_html_lift"])
 def kg_html_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M2: microdata/RDFa/JSON-LD lifting over 500 deterministic synthetic
     pages (exact parity vs the single-node oracle in tests/test_triples)."""
@@ -186,7 +193,7 @@ def kg_html_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kg_entity_links")  # rows-only: n-gram linking checked vs oracle in tests
+@query("kg_entity_links", oracle=VALUES_ORACLES["kg_entity_links"])
 def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyclegraph_spark.operators.linking import link_mentions
     from cyclegraph_spark.sources.pages import alias_df, pages_with_text
@@ -195,7 +202,7 @@ def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(pages, alias_df(spark, 1000)).orderBy("url", "pos")
 
 
-@query("kg_cc_components")  # rows-only: iterative CC checked vs union-find in tests
+@query("kg_cc_components", oracle=VALUES_ORACLES["kg_cc_components"])
 def kg_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyclegraph_spark.operators.cc import connected_components
     from cyclegraph_spark.operators.triples import OWL_SAMEAS, lift_html_pages

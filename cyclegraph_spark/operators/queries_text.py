@@ -256,9 +256,15 @@ def t_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# rows-only checks (non-SQL-expressible; parity in tests/test_dedup.py)
+# hash-sketch dedup under generated VALUES oracles: xxhash64 permutations
+# are not ANSI-SQL-computable, so the oracle is a literal table produced
+# by the pure-Python XXH64 twin (tools/gen_value_oracles.py) over the
+# deterministic sf0.01 corpus the driver gates at.
 # --------------------------------------------------------------------------
-@query("dedup_minhash_lsh")  # no oracle: hash-permutation semantics not in ANSI SQL
+from cyclegraph_spark.operators.oracles_values import VALUES_ORACLES
+
+
+@query("dedup_minhash_lsh", oracle=VALUES_ORACLES["dedup_minhash_lsh"])
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16×4 LSH banding candidate pairs with estimated
     Jaccard ≥ 0.1 (est threshold tuned to the word-salad corpus)."""
@@ -271,7 +277,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # no oracle: bit-vote semantics not in ANSI SQL
+@query("dedup_simhash", oracle=VALUES_ORACLES["dedup_simhash"])
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 16 of 63 bits, 8-bit block)."""
     from cyclegraph_spark.operators.dedup import simhash, simhash_near_pairs
