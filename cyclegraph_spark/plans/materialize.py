@@ -161,6 +161,129 @@ def materialize_triples(
     }
 
 
+LABELS = "labels"
+
+
+def write_labels(labels: DataFrame, out_dir: str) -> None:
+    """Persist the CC labels table (id → canonical component) with an
+    atomic-ish directory swap: write to ``labels.tmp``, rotate the old
+    dir to ``labels.old``, rename tmp into place. A crash between the
+    renames leaves ``labels.old`` for the reader's fallback — prior
+    connectivity facts are never lost to a torn overwrite (labels-as-
+    edges are monotone facts: component membership stays true forever).
+    """
+    import shutil
+
+    labels_dir = os.path.join(out_dir, LABELS)
+    tmp, old = labels_dir + ".tmp", labels_dir + ".old"
+    labels.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(labels_dir):
+        os.rename(labels_dir, old)
+    os.rename(tmp, labels_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    labels.sparkSession.catalog.refreshByPath(labels_dir)
+
+
+def read_labels(spark, out_dir: str) -> DataFrame | None:
+    """Prior labels table, or None on first run. Falls back to
+    ``labels.old`` if a crash interrupted the swap in write_labels."""
+    for cand in (os.path.join(out_dir, LABELS), os.path.join(out_dir, LABELS) + ".old"):
+        if os.path.exists(os.path.join(cand, "_SUCCESS")):
+            return spark.read.parquet(cand)
+    return None
+
+
+def recanonicalize_store(
+    spark, out_dir: str, remap: DataFrame, run_id: str
+) -> dict:
+    """Rewrite already-materialized buckets whose canonical ids went
+    STALE on resume: new edges merged an old component into a smaller
+    id, so rows written in earlier runs still carry the old component.
+
+    ``remap(from_id, to_id)`` is small (only the ids whose canonical
+    assignment CHANGED — empty when the resumed buckets don't touch old
+    components), so both probes broadcast. Only partitions that actually
+    contain a stale id are rewritten (dynamic overwrite), their manifest
+    fingerprints recomputed, and a ``recanonicalize`` lineage row logged.
+    Idempotent: a replay finds no stale ids and no-ops.
+    """
+    data_dir = os.path.join(out_dir, "data")
+    if not os.path.exists(data_dir) or remap.isEmpty():
+        return {"rows": 0, "partitions": []}
+    rm = remap.select(
+        F.col("from_id").alias("_from"), F.col("to_id").alias("_to")
+    ).localCheckpoint(eager=True)
+
+    store = spark.read.parquet(data_dir)
+    affected = (
+        store.join(F.broadcast(rm), store["subj"] == rm["_from"], "left_semi")
+        .select("part_id")
+        .unionByName(
+            store.join(F.broadcast(rm), store["obj"] == rm["_from"], "left_semi")
+            .select("part_id")
+        )
+        .distinct()
+        .collect()
+    )
+    parts = sorted(int(r.part_id) for r in affected)
+    if not parts:
+        return {"rows": 0, "partitions": []}
+
+    sub = store.filter(F.col("part_id").isin(parts))
+    rm_s = rm.select(F.col("_from").alias("_sf"), F.col("_to").alias("_st"))
+    rm_o = rm.select(F.col("_from").alias("_of"), F.col("_to").alias("_ot"))
+    data_cols = [c for c in store.columns if c != "part_id"]
+    rewritten = (
+        sub.join(F.broadcast(rm_s), sub["subj"] == rm_s["_sf"], "left")
+        .join(F.broadcast(rm_o), sub["obj"] == rm_o["_of"], "left")
+        .select(
+            F.coalesce(F.col("_st"), F.col("subj")).alias("subj"),
+            *[F.col(c) for c in data_cols if c not in ("subj", "obj")],
+            F.coalesce(F.col("_ot"), F.col("obj")).alias("obj"),
+            F.col("part_id"),
+        )
+        .select(*data_cols, "part_id")  # restore canonical column order
+        .distinct()  # merged components can collapse previously-distinct rows
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting the source
+    )
+    (
+        rewritten.write.partitionBy("part_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(data_dir)
+    )
+    spark.catalog.refreshByPath(data_dir)
+
+    manifest = CheckpointManifest(out_dir)
+    hash_cols = ", ".join(data_cols)
+    stats = (
+        spark.read.parquet(data_dir)
+        .filter(F.col("part_id").isin(parts))
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr(f"bit_xor(xxhash64({hash_cols}))").alias("xhash"),
+        )
+        .collect()
+    )
+    lineage_rows = []
+    for r in stats:
+        manifest.record(int(r.part_id), int(r.rows), int(r.xhash))
+        lineage_rows.append(
+            {
+                "run_id": run_id,
+                "stage": "recanonicalize",
+                "partition": int(r.part_id),
+                "output_rows": int(r.rows),
+                "xhash": int(r.xhash),
+            }
+        )
+    manifest.save(run_id)
+    append_lineage(out_dir, lineage_rows)
+    return {"rows": sum(int(r.rows) for r in stats), "partitions": parts}
+
+
 def compact_store(spark, out_dir: str, compact_dir: str, n_buckets: int = 32) -> int:
     """Compaction: provenance-partitioned append log → globally deduped,
     subject-bucketed layout (the query-optimized table; Iceberg rewrite

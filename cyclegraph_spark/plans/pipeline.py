@@ -36,6 +36,9 @@ from cyclegraph_spark.plans.materialize import (
     CheckpointManifest,
     append_lineage,
     materialize_triples,
+    read_labels,
+    recanonicalize_store,
+    write_labels,
 )
 
 
@@ -83,12 +86,47 @@ def run_pipeline(
     )
     metrics["lift"] = {"sec": round(time.time() - t0, 3)}
 
-    # --- canonicalize (CC over sameAs edges, then rewrite + dedup)
+    # --- canonicalize (CC over sameAs edges, then rewrite + dedup).
+    # RESUME CORRECTNESS: a pruned run only sees the remaining buckets'
+    # sameAs edges — entities spanning completed and new buckets would get
+    # component minima computed over a SUBGRAPH, diverging from a fresh
+    # run. Fix: union the persisted labels table (id→component rows are
+    # connectivity facts capturing everything earlier runs learned) into
+    # the CC input, then remap any store rows whose canonical id changed.
     t0 = time.time()
     edges = triples.filter(F.col("pred") == OWL_SAMEAS).select(
         F.col("subj").alias("src"), F.col("obj").alias("dst")
     )
+    prior = read_labels(spark, out_dir) if done else None
+    if prior is not None:
+        edges = edges.unionByName(
+            prior.select(F.col("id").alias("src"), F.col("component").alias("dst"))
+        )
     labels = connected_components(edges)
+    if prior is not None:
+        # stale ids: old canonical assignment != new one. Store rows hold
+        # OLD canonical values (old component minima or never-labeled raw
+        # ids), so remap FROM the old canonical TO the new component.
+        remap = (
+            labels.join(
+                prior.select("id", F.col("component").alias("_old_comp")), "id", "left"
+            )
+            .withColumn("_old_canon", F.coalesce(F.col("_old_comp"), F.col("id")))
+            .filter(F.col("component") != F.col("_old_canon"))
+            .select(
+                F.col("_old_canon").alias("from_id"),
+                F.col("component").alias("to_id"),
+            )
+            .distinct()
+        )
+        rc = recanonicalize_store(spark, out_dir, remap, run_id)
+        if rc["partitions"]:
+            metrics["recanonicalize"] = {"rows": rc["rows"], "sec": round(time.time() - t0, 3)}
+    # persist AFTER the store rewrite: if we crash in between, the next
+    # resume recomputes the same merge against the OLD labels and the
+    # rewrite replays as a no-op; persisting first would hide the merge
+    # (prior == new ⇒ empty remap) and leave stale rows forever.
+    write_labels(labels, out_dir)
     canon = canonicalize_triples(triples, labels, keep_cols=("src", "part_id"))
     metrics["cc"] = {"sec": round(time.time() - t0, 3)}
 

@@ -134,3 +134,108 @@ def test_full_pipeline_and_compaction(spark, tmp_path):
     store2 = spark.read.parquet(out + "/data")
     n = compact_store(spark, out, str(tmp_path / "compact"), n_buckets=8)
     assert 0 < n <= store2.select("subj", "pred", "obj", "obj_dtype").distinct().count()
+
+
+def test_partial_resume_through_cc_matches_fresh_run(spark, tmp_path):
+    """ADVICE r1 (high): a partial resume must not diverge from a fresh
+    run when sameAs components SPAN completed and remaining buckets.
+
+    Scenario: run 1 commits a subset of source buckets (its CC sees only
+    that subgraph, so component minima can be locally wrong); run 2
+    resumes over the full corpus. The resumed store — including rows
+    already written by run 1 — must equal the fresh one-shot store:
+    one canonical id per entity, store-wide."""
+    fresh_out = str(tmp_path / "fresh")
+    out = str(tmp_path / "resumed")
+    N, BUCKETS = 400, 8
+    base = pages_df(spark, N, n_entities=100, partitions=4)
+
+    # The seeded corpus alone can't diverge: every sameAs component is a
+    # star around a kg.example hub URI that is also the lexicographic
+    # minimum, so a subgraph CC finds the same minimum. Craft two pages
+    # whose edges form a CHAIN across the bucket split: the subset sees
+    # only b—c (local min b); the full graph adds a—b (global min a), so
+    # run 2 must remap b → a in the already-written buckets.
+    import datetime as _dt
+    import json as _json
+
+    from cyclegraph_spark.functions.xxh64 import spark_xxhash64_str
+    from cyclegraph_spark.sources.pages import PAGES_SCHEMA
+
+    def _bucket(url):  # twin of pmod(xxhash64(url), BUCKETS)
+        return spark_xxhash64_str(url) % BUCKETS
+
+    def _mk(url, subj, same):
+        doc = {"@id": subj, "@type": "Thing", "sameAs": same}
+        html = (
+            "<html><head><script type=\"application/ld+json\">"
+            + _json.dumps(doc)
+            + "</script></head><body>x</body></html>"
+        ).encode("utf-8")
+        return (url, _dt.datetime(2024, 1, 1), html, "en")
+
+    u_sub = next(
+        f"https://z.example/sub/{i}" for i in range(1000)
+        if _bucket(f"https://z.example/sub/{i}") < 4
+    )
+    u_rest = next(
+        f"https://z.example/rest/{i}" for i in range(1000)
+        if _bucket(f"https://z.example/rest/{i}") >= 4
+    )
+    crafted = spark.createDataFrame(
+        [
+            _mk(u_sub, "https://z.example/ent/b", "https://z.example/ent/c"),
+            _mk(u_rest, "https://a.example/ent/a", "https://z.example/ent/b"),
+        ],
+        PAGES_SCHEMA,
+    )
+    pages = base.unionByName(crafted)
+
+    run_pipeline(spark, pages, fresh_out, run_id="fresh", n_buckets=BUCKETS)
+
+    # run 1: only pages whose source bucket < 4 (the hot entity e0000 is
+    # on ~20% of ALL pages, so its component spans both halves)
+    part = F.pmod(F.xxhash64(F.col("url")), F.lit(BUCKETS)).cast("int")
+    subset = pages.withColumn("_p", part).filter(F.col("_p") < 4).drop("_p")
+    m1 = run_pipeline(spark, subset, out, run_id="p1", n_buckets=BUCKETS)
+    assert set(CheckpointManifest(out).completed()) == set(m1["materialize"]["written"])
+    assert max(m1["materialize"]["written"]) < 4
+
+    # run 2: resume over the full corpus — prunes buckets 0-3 at the
+    # source, merges prior labels into CC, remaps stale store rows
+    m2 = run_pipeline(spark, pages, out, run_id="p2", n_buckets=BUCKETS)
+    assert sorted(m2["materialize"]["skipped"]) == sorted(m1["materialize"]["written"])
+
+    fresh = {
+        (r.src, r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in spark.read.parquet(fresh_out + "/data").collect()
+    }
+    resumed = {
+        (r.src, r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in spark.read.parquet(out + "/data").collect()
+    }
+    assert resumed == fresh, (
+        f"only-in-resumed={list(resumed - fresh)[:5]} "
+        f"only-in-fresh={list(fresh - resumed)[:5]}"
+    )
+
+    # the divergence was real: run 1's subgraph must have assigned some
+    # canonical id that run 2 had to remap (otherwise this test is vacuous)
+    lineage = [
+        json.loads(line)
+        for line in open(out + "/lineage.jsonl", encoding="utf-8")
+    ]
+    assert any(r["stage"] == "recanonicalize" for r in lineage), (
+        "no recanonicalize lineage row — the scenario did not exercise a merge"
+    )
+
+    # labels table equals the fresh run's (same connectivity, same minima)
+    fresh_lab = {
+        (r.id, r.component)
+        for r in spark.read.parquet(fresh_out + "/labels").collect()
+    }
+    res_lab = {
+        (r.id, r.component)
+        for r in spark.read.parquet(out + "/labels").collect()
+    }
+    assert res_lab == fresh_lab
