@@ -108,3 +108,143 @@ def metrics_session_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "activity_id", "avg_power", "np", "w_per_beat", "pa_hr", "precision_watt"
     ).orderBy("activity_id")
+
+
+# --------------------------------------------------------------------------
+# A17 — Badges v2.2 (docs/CGS_v1.md "Badges (v2.2)") under the DuckDB gate
+# --------------------------------------------------------------------------
+@query(
+    "a17_badges_v22",
+    oracle="""
+    -- fortnight sessions from events: per (user, 14-day period) the
+    -- reference metric block (same shapes as metrics_session_block),
+    -- duration, then the 28-day ±25%-duration baseline (J4) and the
+    -- three v2.2 badges. Fortnight grain: sessions reach the ≥30-sample
+    -- Dialed-In floor while the prior period stays inside the 28-day
+    -- baseline window, so every badge predicate fires both ways.
+    WITH samples AS (
+      -- calibrated users (user_id % 3 = 0) ride a precision power meter:
+      -- a narrow 20 W band instead of the raw event value, so the corpus
+      -- contains sessions that can clear the ±3 W Dialed-In floor
+      SELECT user_id,
+             DATE '2024-01-01'
+               + (14 * floor(datediff('day', DATE '2024-01-01', ts::DATE) / 14.0))::INT
+               AS week,
+             epoch_us(ts) AS t,
+             CASE WHEN user_id % 3 = 0 THEN 150 + (value % 20) ELSE value END AS watts,
+             (value % 100) + 60 AS hr
+      FROM events
+    ), rolled AS (
+      SELECT user_id, week, watts, hr, t,
+             AVG(watts) OVER (PARTITION BY user_id, week ORDER BY t
+                              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS roll
+      FROM samples
+    ), agg AS (
+      SELECT user_id, week,
+             COUNT(*) AS n_samples,
+             AVG(watts) AS avg_power,
+             AVG(hr) AS avg_hr,
+             POWER(AVG(POWER(roll, 4)), 0.25) AS np_windowed,
+             QUANTILE_CONT(CASE WHEN hr > 0 THEN watts / hr END, 0.5) AS wpb_median,
+             QUANTILE_CONT(watts - roll, 0.75) - QUANTILE_CONT(watts - roll, 0.25) AS iqr,
+             (MAX(t) - MIN(t)) / 1000000.0 AS duration_s
+      FROM rolled GROUP BY user_id, week
+    ), block AS (
+      SELECT user_id, week, n_samples, duration_s,
+             ROUND(CASE WHEN avg_power > 0 THEN
+                     (CASE WHEN n_samples < 30 THEN avg_power ELSE np_windowed END)
+                     / avg_power ELSE 0 END, 2) AS vi,
+             ROUND(CASE WHEN COALESCE(wpb_median,
+                                      CASE WHEN avg_hr > 0 THEN avg_power / avg_hr ELSE 0 END) > 0
+                   THEN (CASE WHEN avg_hr > 0 THEN avg_power / avg_hr ELSE 0 END)
+                        / COALESCE(wpb_median,
+                                   CASE WHEN avg_hr > 0 THEN avg_power / avg_hr ELSE 0 END)
+                   ELSE 0 END, 2) AS pa_hr,
+             ROUND(CASE WHEN avg_hr > 0 THEN avg_power / avg_hr ELSE 0 END, 2) AS w_per_beat,
+             ROUND(CASE WHEN ABS(iqr) > 0 THEN ABS(iqr) / 1.349 ELSE 0 END
+                   / SQRT(LEAST(30, n_samples)), 4) AS precision_watt
+      FROM agg
+    ), based AS (
+      SELECT cur.*,
+             ROUND(QUANTILE_CONT(hist.w_per_beat, 0.5), 4) AS baseline_wpb
+      FROM block cur
+      LEFT JOIN block hist
+        ON hist.user_id = cur.user_id
+       AND hist.week < cur.week
+       AND hist.week >= cur.week - INTERVAL 28 DAY
+       AND hist.duration_s >= cur.duration_s * 0.75
+       AND hist.duration_s <= cur.duration_s * 1.25
+      GROUP BY ALL
+    )
+    SELECT user_id, week, n_samples,
+           ROUND(duration_s, 2) AS duration_s,
+           vi, pa_hr, w_per_beat, precision_watt, baseline_wpb,
+           COALESCE(w_per_beat >= baseline_wpb * 1.06 AND duration_s >= 1800.0,
+                    FALSE) AS badge_big_engine,
+           COALESCE(vi <= 1.05 AND pa_hr <= 1.05, FALSE) AS badge_metronome,
+           COALESCE((user_id % 3 = 0) AND precision_watt <= 3.0 AND n_samples >= 30,
+                    FALSE) AS badge_dialed_in
+    FROM based ORDER BY user_id, week
+    """,
+)
+def a17_badges_v22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — the full Badges v2.2 family (docs/CGS_v1.md: Big Engine /
+    Metronome / Dialed In; apply hook cli/session.py:1941-1942) over
+    fortnight sessions synthesized from events. Big Engine needs the J4
+    28-day ±25%-duration WpB baseline; calibrated is synthesized as
+    user_id % 3 == 0 (events carry no calibration dimension — the flag
+    exercises both badge outcomes)."""
+    from cyclegraph_spark.operators.metrics import session_metrics
+    from cyclegraph_spark.operators.reports import with_badges_v22, with_baseline_28d
+
+    ev = load(spark, sf_dir, "events")
+    week = F.date_add(
+        F.lit("2024-01-01").cast("date"),
+        (
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+                / 14.0
+            )
+            * 14
+        ).cast("int"),
+    )
+    sid = F.concat_ws("#", F.col("user_id").cast("string"), F.date_format(week, "yyyy-MM-dd"))
+    samples = ev.select(
+        sid.alias("activity_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        # calibrated users (user_id % 3 == 0) ride a precision power
+        # meter — narrow 20 W band — so Dialed In is reachable
+        F.when(
+            F.col("user_id") % 3 == 0, 150 + F.pmod(F.col("value"), F.lit(20.0))
+        )
+        .otherwise(F.col("value"))
+        .alias("watts"),
+        (F.pmod(F.col("value"), F.lit(100.0)) + 60).alias("hr"),
+    ).drop("user_id")
+    block = session_metrics(samples)
+    dur = samples.groupBy("activity_id").agg(
+        ((F.max("t") - F.min("t")) / 1e6).alias("duration_s")
+    )
+    rep = (
+        block.join(dur, "activity_id")
+        .withColumn("user_id", F.split("activity_id", "#")[0].cast("long"))
+        .withColumn("week", F.to_date(F.split("activity_id", "#")[1]))
+        .select(
+            "user_id", "week", "n_samples", "duration_s",
+            "vi", "pa_hr", "w_per_beat", "precision_watt",
+        )
+    )
+    based = with_baseline_28d(
+        rep, date_col="week", dur_col="duration_s", wpb_col="w_per_beat",
+        key_cols=("user_id",),
+    ).drop("baseline_n", "wpb_vs_baseline")
+    badged = with_badges_v22(
+        based.withColumn("calibrated", F.col("user_id") % 3 == 0)
+    )
+    return badged.select(
+        "user_id", "week", "n_samples",
+        F.round("duration_s", 2).alias("duration_s"),
+        "vi", "pa_hr", "w_per_beat", "precision_watt", "baseline_wpb",
+        "badge_big_engine", "badge_metronome", "badge_dialed_in",
+    ).orderBy("user_id", "week")

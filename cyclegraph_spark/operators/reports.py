@@ -85,6 +85,49 @@ def with_baseline_28d(
     )
 
 
+def with_badges_v22(
+    reports: DataFrame,
+    wpb_col: str = "w_per_beat",
+    baseline_col: str = "baseline_wpb",
+    dur_col: str = "duration_s",
+    vi_col: str = "vi",
+    pa_hr_col: str = "pa_hr",
+    precision_col: str = "precision_watt",
+    calibrated_col: str = "calibrated",
+    samples_col: str = "n_samples",
+) -> DataFrame:
+    """Badges v2.2 (reference docs/CGS_v1.md "Badges (v2.2)"; apply hook
+    cli/session.py:1941-1942) as three null-safe boolean flag columns:
+
+    - **Big Engine**: WpB ≥ baseline × 1.06 AND duration ≥ 30 min.
+      No baseline ("Ingen baseline" degrade rule) → no badge.
+    - **Metronome**: VI ≤ 1.05 AND Pa:Hr ≤ 1.05.
+    - **Dialed In** (v2.2): calibrated == true AND PrecisionWatt ≤ ±3 W
+      AND samples ≥ 30.
+
+    A NULL in any contributing metric never awards the badge (the
+    reference's missing-HR / hr_only degrade rules skip the indicator).
+    """
+
+    def _flag(c):
+        return F.coalesce(c, F.lit(False))
+
+    big = (F.col(wpb_col) >= F.col(baseline_col) * 1.06) & (
+        F.col(dur_col) >= 1800.0
+    )
+    metronome = (F.col(vi_col) <= 1.05) & (F.col(pa_hr_col) <= 1.05)
+    dialed = (
+        F.col(calibrated_col)
+        & (F.col(precision_col) <= 3.0)
+        & (F.col(samples_col) >= 30)
+    )
+    return (
+        reports.withColumn("badge_big_engine", _flag(big))
+        .withColumn("badge_metronome", _flag(metronome))
+        .withColumn("badge_dialed_in", _flag(dialed))
+    )
+
+
 def t11_matrix(
     reports: DataFrame,
     git_sha: str = "spark",

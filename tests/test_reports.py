@@ -67,3 +67,34 @@ def test_t11_matrix_contract(spark):
         for col in ("precision_watt", "drag_watt", "rolling_watt", "total_watt"):
             v = r[col]
             assert v is not None and float(v) == v
+
+
+def test_badges_v22_null_safety(spark):
+    """Badges v2.2: NULL metrics (missing HR / no baseline degrade rules)
+    never award a badge; thresholds are inclusive per docs/CGS_v1.md."""
+    from cyclegraph_spark.operators.reports import with_badges_v22
+
+    rows = [
+        # wpb, baseline, dur_s, vi, pa_hr, precision, calibrated, n
+        (2.13, 2.0, 1800.0, 1.05, 1.05, 3.0, True, 30),   # at/above every threshold
+        # (2.0 * 1.06 is 2.1200000000000002 in binary — wpb 2.12 would
+        # sit just BELOW the product; the fixture uses 2.13 to stay clear)
+        (2.11, 2.0, 1800.0, 1.06, 1.05, 3.01, True, 30),  # big off by ratio, metro off by vi, dialed off by pw
+        (None, 2.0, 1800.0, None, 1.0, None, True, 30),   # nulls -> never awarded
+        (2.2, None, 4000.0, 1.0, 1.0, 1.0, False, 50),    # no baseline / not calibrated
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "w_per_beat double, baseline_wpb double, duration_s double, vi double,"
+        " pa_hr double, precision_watt double, calibrated boolean, n_samples int",
+    )
+    got = [
+        (r.badge_big_engine, r.badge_metronome, r.badge_dialed_in)
+        for r in with_badges_v22(df).collect()
+    ]
+    assert got == [
+        (True, True, True),
+        (False, False, False),
+        (False, False, False),  # NULL wpb/vi/precision → nothing awarded
+        (False, True, False),
+    ]
