@@ -66,18 +66,89 @@ def resolve_ftp(samples: DataFrame, act: str = "activity_id") -> DataFrame:
     )
 
 
+WEATHER_COLS = ("wind_ms", "wind_dir_deg", "air_temp_c", "air_pressure_hpa")
+
+
+def weather_asof(
+    anchors: DataFrame,
+    weather: DataFrame,
+    act: str = "activity_id",
+    t_col: str = "t",
+    weather_t: str = "t_w",
+) -> DataFrame:
+    """Per-anchor nearest hourly weather record — the reference's
+    ``_nearest_index`` scan (cli/weather_metrics.py:64-81,107-115) as a
+    distributed as-of join.
+
+    anchors(act, t) × weather(t_w, wind_ms, wind_dir_deg, air_temp_c,
+    air_pressure_hpa) → (act, *WEATHER_COLS).
+
+    Scale shape (J2 idiom): equi-join on the hour bucket expanded ±1 — an
+    hourly table always has its nearest record within one bucket of an
+    in-range anchor, so no range-join blowup. Anchors OUTSIDE the table's
+    time range (reference still returns the globally nearest record)
+    clamp to the first/last record via a 2-row broadcast — for a sorted
+    hourly table the global nearest of an out-of-range point is exactly
+    one of the two boundary rows. Ties break to the EARLIER record
+    (``_nearest_index`` keeps the first index on equal distance).
+    """
+    payload = F.struct(
+        F.col(weather_t).alias("_tw"), *[F.col(c).alias(c) for c in WEATHER_COLS]
+    )
+    w = weather.select(F.col(weather_t), payload.alias("_wx"))
+    order = lambda tcol: F.struct(  # noqa: E731 — (|Δt|, t_w) lexicographic
+        F.abs(F.col(tcol) - F.col(weather_t)).alias("d"),
+        F.col(weather_t).alias("tw"),
+    )
+
+    a_b = anchors.select(act, t_col).withColumn(
+        "_bucket",
+        F.explode(
+            F.array(*[(F.floor(F.col(t_col) / 3600) + d).cast("long") for d in (-1, 0, 1)])
+        ),
+    )
+    w_b = w.withColumn("_bucket", F.floor(F.col(weather_t) / 3600).cast("long"))
+    in_range = (
+        a_b.join(w_b, "_bucket")
+        .groupBy(act)
+        .agg(F.min_by("_wx", order(t_col)).alias("_wx"))
+    )
+
+    # boundary clamp for anchors with no record within ±1 bucket
+    bounds = w.orderBy(weather_t).limit(1).unionByName(
+        w.orderBy(F.col(weather_t).desc()).limit(1)
+    )
+    clamped = (
+        anchors.select(act, t_col)
+        .join(in_range.select(act), act, "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(act)
+        .agg(F.min_by("_wx", order(t_col)).alias("_wx"))
+    )
+    return in_range.unionByName(clamped).select(
+        act, *[F.col(f"_wx.{c}").alias(c) for c in WEATHER_COLS]
+    )
+
+
 def analyze_sessions(
     samples: DataFrame,
     act: str = "activity_id",
     ftp: float | None = None,
     weather: dict | None = None,
     profile: dict | None = None,
+    weather_df: DataFrame | None = None,
 ) -> DataFrame:
     """samples(activity_id, t, watts?, hr?, v_ms?, altitude?, latitude?,
     longitude?, moving?) → report rows (see module docstring).
 
     ``weather``: {wind_ms, wind_dir_deg(TO), air_temp_c, air_pressure_hpa}
     session-level dict (the broadcast dimension J5 idiom).
+    ``weather_df``: hourly weather DIMENSION table (t_w, *WEATHER_COLS) —
+    each activity gets the record nearest its start time (the reference's
+    hourly-array nearest-record join, cli/weather_metrics.py:83-148),
+    joined per activity and fed to the power model as columns. Takes
+    precedence over ``weather``; the dict/defaults fill activities only
+    when the table is empty.
     ``profile``: {mass, crr, cda} overrides.
     """
     prof = {"mass": 75.0, "crr": 0.005, "cda": 0.30, **(profile or {})}
@@ -92,6 +163,22 @@ def analyze_sessions(
     for optional in ("watts", "hr", "v_ms", "altitude", "latitude", "longitude"):
         if optional not in cols:
             samples = samples.withColumn(optional, F.lit(None).cast("double"))
+
+    wx_args: dict[str, object] = dict(wx)
+    if weather_df is not None:
+        anchors = samples.groupBy(act).agg(F.min("t").alias("t"))
+        ctx = weather_asof(anchors, weather_df, act=act)
+        samples = samples.join(
+            ctx.select(
+                act, *[F.col(c).alias(f"_wx_{c}") for c in WEATHER_COLS]
+            ),
+            act,
+            "left",
+        )
+        wx_args = {
+            c: F.coalesce(F.col(f"_wx_{c}"), F.lit(float(wx[c])))
+            for c in WEATHER_COLS
+        }
 
     # per-activity mode flags
     modes = samples.groupBy(act).agg(
@@ -108,10 +195,10 @@ def analyze_sessions(
         mass=prof["mass"],
         crr=prof["crr"],
         cda=prof["cda"],
-        wind_ms=wx["wind_ms"],
-        wind_to_deg=wx["wind_dir_deg"],
-        air_temp_c=wx["air_temp_c"],
-        air_pressure_hpa=wx["air_pressure_hpa"],
+        wind_ms=wx_args["wind_ms"],
+        wind_to_deg=wx_args["wind_dir_deg"],
+        air_temp_c=wx_args["air_temp_c"],
+        air_pressure_hpa=wx_args["air_pressure_hpa"],
     ).select(
         act, "t", "hr", "watts", "v_ms", "power", "wind_rel", "v_rel",
         "p_aero", "p_roll",

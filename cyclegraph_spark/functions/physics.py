@@ -89,10 +89,10 @@ def with_power_model(
     mass: float = 75.0,
     crr: float = 0.005,
     cda: float = 0.30,
-    wind_ms: float = 0.0,
-    wind_to_deg: float = 0.0,
-    air_temp_c: float = 15.0,
-    air_pressure_hpa: float = 1013.25,
+    wind_ms: float | Column = 0.0,
+    wind_to_deg: float | Column = 0.0,
+    air_temp_c: float | Column = 15.0,
+    air_pressure_hpa: float | Column = 1013.25,
 ) -> DataFrame:
     """P6/P9/P10/P11 composed: samples(activity_id, t, v_ms, altitude_m,
     latitude?, longitude?, heading_deg?) → + power, wind_rel, v_rel.
@@ -102,6 +102,14 @@ def with_power_model(
     physics.rs:229-236 — we use the exact median, documented deviation:
     same robustness intent, deterministic under distribution).
     """
+    # weather inputs accept a per-row Column (the hourly-dimension as-of
+    # path, analyze.weather_asof) or a session-level scalar (J5 idiom)
+    def _wx(x):
+        return x if isinstance(x, Column) else F.lit(float(x))
+
+    wind_ms, wind_to_deg = _wx(wind_ms), _wx(wind_to_deg)
+    air_temp_c, air_pressure_hpa = _wx(air_temp_c), _wx(air_pressure_hpa)
+
     w = Window.partitionBy(act).orderBy(t)
     cols = set(samples.columns)
     df = samples
@@ -143,7 +151,7 @@ def with_power_model(
 
     # representative altitude per activity → rho (broadcast back via window)
     alt_mid = F.percentile("_alt_s", 0.5).over(Window.partitionBy(act))
-    rho = air_density(F.lit(air_temp_c), F.lit(air_pressure_hpa), alt_mid)
+    rho = air_density(air_temp_c, air_pressure_hpa, alt_mid)
 
     v = F.greatest(F.col("v_ms"), F.lit(0.0))
     lag_v = F.lag("v_ms").over(w)
@@ -154,7 +162,7 @@ def with_power_model(
     v_mid = 0.5 * (v + v_prev)
     a = (v - v_prev) / dt_p
 
-    walong = wind_along(F.col("_heading"), F.lit(wind_to_deg), F.lit(wind_ms))
+    walong = wind_along(F.col("_heading"), wind_to_deg, wind_ms)
     vr = F.greatest(v - walong, F.lit(0.1))
 
     p_roll = mass * G * crr * v_mid

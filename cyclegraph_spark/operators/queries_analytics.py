@@ -915,3 +915,74 @@ def s3_hz_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(1.0 / F.percentile("dt", 0.5), 6).alias("hz"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# J2b — hourly weather dimension → per-session nearest-record context
+# (cli/weather_metrics.py:83-148 load_weather_context / _nearest_index)
+# --------------------------------------------------------------------------
+_WX_EP0 = 1704067200  # 2024-01-01T00:00:00Z; grid covers 457 h (19 days),
+# so session START times fall inside the table while session END times
+# (events run to Jan 30) fall OUTSIDE — exercising both the bucketed
+# in-range join and the boundary clamp. The oracle is a BRUTE-FORCE
+# global nearest (cross join + QUALIFY), i.e. exactly the reference's
+# _nearest_index scan — the bucketed implementation must equal it.
+
+
+@query(
+    "j2_weather_context",
+    oracle=f"""
+    WITH h AS (
+      SELECT {_WX_EP0} + i * 3600 AS t_w,
+             (i * 7 % 13)::DOUBLE AS wind_ms,
+             (i * 31 % 360)::DOUBLE AS wind_dir_deg,
+             (i % 20 + 5)::DOUBLE AS air_temp_c,
+             (i % 40 + 990)::DOUBLE AS air_pressure_hpa
+      FROM (SELECT UNNEST(range(0, 457)) AS i)
+    ), s AS (
+      SELECT user_id,
+             floor(epoch(MIN(ts)))::BIGINT AS t_start,
+             floor(epoch(MAX(ts)))::BIGINT AS t_end
+      FROM events GROUP BY user_id
+    ), ns AS (
+      SELECT s.user_id, h.wind_ms AS s_wind_ms, h.wind_dir_deg AS s_wind_dir_deg,
+             h.air_temp_c AS s_air_temp_c, h.air_pressure_hpa AS s_air_pressure_hpa
+      FROM s CROSS JOIN h
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.user_id
+                                 ORDER BY ABS(s.t_start - h.t_w), h.t_w) = 1
+    ), ne AS (
+      SELECT s.user_id, h.wind_ms AS e_wind_ms, h.wind_dir_deg AS e_wind_dir_deg,
+             h.air_temp_c AS e_air_temp_c, h.air_pressure_hpa AS e_air_pressure_hpa
+      FROM s CROSS JOIN h
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY s.user_id
+                                 ORDER BY ABS(s.t_end - h.t_w), h.t_w) = 1
+    )
+    SELECT * FROM ns JOIN ne USING (user_id) ORDER BY user_id
+    """,
+)
+def j2_weather_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2b: per-session weather context from an hourly DIMENSION table —
+    nearest record to the session start (in-range: ±1-hour-bucket equi
+    join) and to the session end (out of table range: boundary clamp).
+    The oracle brute-forces the reference's global _nearest_index scan."""
+    from cyclegraph_spark.analyze import WEATHER_COLS, weather_asof
+
+    ev = load(spark, sf_dir, "events")
+    hours = spark.range(0, 457).select(
+        (F.lit(_WX_EP0) + F.col("id") * 3600).alias("t_w"),
+        (F.col("id") * 7 % 13).cast("double").alias("wind_ms"),
+        (F.col("id") * 31 % 360).cast("double").alias("wind_dir_deg"),
+        (F.col("id") % 20 + 5).cast("double").alias("air_temp_c"),
+        (F.col("id") % 40 + 990).cast("double").alias("air_pressure_hpa"),
+    )
+    sessions = ev.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("t_start"),
+        F.max(F.unix_timestamp("ts")).alias("t_end"),
+    )
+    ctx_s = weather_asof(
+        sessions.select("user_id", F.col("t_start").alias("t")), hours, act="user_id"
+    ).select("user_id", *[F.col(c).alias(f"s_{c}") for c in WEATHER_COLS])
+    ctx_e = weather_asof(
+        sessions.select("user_id", F.col("t_end").alias("t")), hours, act="user_id"
+    ).select("user_id", *[F.col(c).alias(f"e_{c}") for c in WEATHER_COLS])
+    return ctx_s.join(ctx_e, "user_id").orderBy("user_id")

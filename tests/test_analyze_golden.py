@@ -153,3 +153,56 @@ def test_ftp_floor_matches_reference_twin(spark):
             avg = pow_sum / max(1.0, right - left + 1)
             best = max(best, avg)
     assert got == pytest.approx(best * 0.95, rel=1e-12)
+
+
+def test_weather_dimension_equals_dict_path(spark, golden_samples):
+    """The hourly weather DIMENSION path (weather_asof → per-activity
+    columns, cli/weather_metrics.py:83-148) must produce byte-identical
+    reports to the session-level dict path when the record nearest each
+    session start carries the golden weather; decoy hours carry junk, so
+    a wrong pick changes the physics-modeled power."""
+    wx = _weather()
+    golden_row = (
+        0,
+        float(wx["wind_ms"]),
+        float(wx["wind_dir_deg"]),
+        float(wx["air_temp_c"]),
+        float(wx["air_pressure_hpa"]),
+    )
+    decoys = [
+        (3600 * (i + 1), 19.0, 271.0, -30.0, 870.0) for i in range(6)
+    ]
+    wdf = spark.createDataFrame(
+        [golden_row, *decoys],
+        "t_w long, wind_ms double, wind_dir_deg double,"
+        " air_temp_c double, air_pressure_hpa double",
+    )
+    via_dict = {
+        r.session_id: r for r in analyze_sessions(golden_samples, weather=wx).collect()
+    }
+    via_dim = {
+        r.session_id: r
+        for r in analyze_sessions(golden_samples, weather_df=wdf).collect()
+    }
+    assert set(via_dim) == set(via_dict)
+    for sid, a in via_dict.items():
+        assert via_dim[sid] == a, f"{sid}: {via_dim[sid]} != {a}"
+
+
+def test_weather_asof_out_of_range_clamps_to_boundary(spark):
+    """Anchors outside the table range must get the globally nearest
+    record — the first/last row (reference _nearest_index scans all)."""
+    from cyclegraph_spark.analyze import weather_asof
+
+    wdf = spark.createDataFrame(
+        [(7200, 1.0, 10.0, 5.0, 1000.0), (10800, 2.0, 20.0, 6.0, 1001.0),
+         (14400, 3.0, 30.0, 7.0, 1002.0)],
+        "t_w long, wind_ms double, wind_dir_deg double,"
+        " air_temp_c double, air_pressure_hpa double",
+    )
+    anchors = spark.createDataFrame(
+        [("before", 0), ("inside", 10700), ("after", 999999)],
+        "activity_id string, t long",
+    )
+    got = {r.activity_id: r.wind_ms for r in weather_asof(anchors, wdf).collect()}
+    assert got == {"before": 1.0, "inside": 2.0, "after": 3.0}
