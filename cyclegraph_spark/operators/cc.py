@@ -6,26 +6,43 @@ equivalences) to one canonical id = the MINIMUM id in the component —
 a deterministic choice at any parallelism (the reference's newest-wins /
 sorted-glob tie-break discipline, SURVEY.md §2.6 O3/O6, applied to ids).
 
-Algorithm: iterative min-label propagation (hash joins), the
-alternating-direction variant of large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14 — public
-literature). Each round:
+Algorithm: alternating large-star / small-star edge contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public literature). Each round REWRITES the edge set:
 
-    label(v) ← min(label(v), min over neighbors u of label(u))
+    large-star: every node u hooks its strictly-larger neighbors to
+                m(u) = min(N(u) ∪ {u})
+    small-star: every node u (as the larger endpoint) hooks its
+                smaller neighbors and itself to m(u)
 
-- Edges are symmetrized once; each round is one shuffle-join
-  (labels ⨝ edges) + one hash aggregation (min per vertex). Both have
-  map-side partial aggregation, so a hot vertex (the "Boris Johnson
-  problem" — one entity on 20% of pages) does NOT funnel through one
-  reducer for the agg; the join side is covered by AQE skew-split
-  (spark.sql.adaptive.skewJoin.enabled=true in our session factory).
+and the edge set provably converges to per-component stars rooted at
+the component minimum in O(log n) rounds. We previously ran min-label
+propagation + pointer doubling over a STATIC edge set; that is
+O(log n) only while one label front is live — when a smaller label
+arrives late into an already-converged region (a hub grafted onto a
+long chain's midpoint), it crawls the region at one hop per round
+because every pointer already short-circuits to the regional minimum.
+Star contraction rewires the region's star root directly to the new
+minimum, so the same topology converges in O(log n) regardless of
+label arrival order (regression-tested on a 10k chain × 4 hubs).
+
+Scale notes:
+- Each star step is one hash aggregation (min per node — map-side
+  partial agg, so a hot node — the "Boris Johnson problem", one entity
+  on ~20% of pages — does not funnel through one reducer) + one join
+  of edges against that per-node minimum. The join IS skewed on a hot
+  node, so minima rows for nodes with degree > ``hot_degree`` are
+  split off and broadcast (their edges never shuffle by node at all);
+  the residual join is skew-free, and AQE skew-join remains on as a
+  backstop.
 - ``localCheckpoint`` every round truncates the lineage chain — without
   it the plan doubles per iteration and the driver OOMs compiling it
   (this is the Spark analog of the reference's incremental checkpoint
   state, /root/reference/cli/strava_import.py:289-313).
-- Convergence: stop when no label changed; rounds = O(component
-  diameter) — sameAs graphs are star-shaped (diameter ≤ 4), so 3-5
-  rounds in practice; ``max_iter`` bounds pathological chains.
+- Convergence: stop when the edge multiset's (count, hash-xor)
+  fingerprint is a fixpoint; sameAs graphs are star-shaped already
+  (diameter ≤ 4), so 2-3 rounds in practice; ``max_iter`` bounds
+  pathological inputs.
 
 Returns labels(id, component) — join it back to the triple table to
 rewrite subj/obj to canonical ids, then dedup (O3 keep-best).
@@ -37,6 +54,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _attach_min(
+    by_u: DataFrame, w: DataFrame, hot_degree: int, split_hot: bool
+) -> DataFrame:
+    """Join edges grouped-by ``u`` to per-node minima ``w(u, m, deg)``.
+
+    Hot nodes' minima (degree > hot_degree; by construction a tiny
+    relation, ≤ 2|E|/hot_degree rows) are broadcast so a hub's edge
+    rows never shuffle on the hub id; everything else takes the
+    ordinary (now skew-free) shuffled hash join. Hot nodes EMERGE
+    during contraction (a component's min accumulates the whole
+    component as direct children), so hotness is re-derived from each
+    step's ``w``, not detected once up front; the ``isEmpty`` probe
+    keeps the common no-hot-node step on the plain single-join plan.
+    """
+    if not split_hot:
+        return by_u.join(w.select("u", "m"), "u")
+    hot = w.filter(F.col("deg") > F.lit(hot_degree)).select("u", "m")
+    if hot.isEmpty():
+        return by_u.join(w.select("u", "m"), "u")
+    hot_part = by_u.join(F.broadcast(hot), "u")
+    cold_part = by_u.join(
+        F.broadcast(hot.select("u")), "u", "left_anti"
+    ).join(w.select("u", "m"), "u")
+    return cold_part.unionByName(hot_part)
+
+
+def _large_star(e: DataFrame, hot_degree: int, split_hot: bool) -> DataFrame:
+    """(u,v) undirected → for each node, larger neighbors hook to m(u)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("u") != F.col("v"))
+    w = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"),
+        F.count(F.lit(1)).alias("deg"),
+    )
+    out = (
+        _attach_min(sym, w, hot_degree, split_hot)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.distinct()
+
+
+def _small_star(e: DataFrame, hot_degree: int, split_hot: bool) -> DataFrame:
+    """(u,v) → orient u=larger endpoint; u and its smaller neighbors hook to m(u)."""
+    d = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    w = d.groupBy("u").agg(
+        F.min("v").alias("m"), F.count(F.lit(1)).alias("deg")
+    )
+    hooked = _attach_min(d, w, hot_degree, split_hot)
+    out = hooked.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        w.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -44,119 +123,63 @@ def connected_components(
     max_iter: int = 25,
     salt: int = 8,
     hot_degree: int = 1000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) → labels(id, component); component = min id.
 
-    Two scale levers beyond the basic loop:
+    Alternating large-star / small-star contraction (module docstring).
+    One round = large-star + small-star + a (count, hash-xor) edge
+    fingerprint action; stop at a fingerprint fixpoint. O(log n) rounds
+    on any topology, independent of where the component minimum sits.
 
-    - **Targeted salting** (``salt`` > 1): a hot vertex's edge rows all
-      hash to ONE reducer in the edges⨝labels shuffle (the
-      "Boris Johnson problem" — our corpus mentions one entity on ~20%
-      of pages). Senders with degree > ``hot_degree`` get their edges
-      spread over ``salt`` deterministic shards
-      (pmod(xxhash64(dst), salt)), and ONLY those few hot label rows are
-      replicated per shard — cold vertices pay nothing. Complements
-      AQE's skew-join (which needs its size thresholds tripped);
-      deterministic, so results are parallelism-invariant.
-    - **Frontier propagation**: after round 1 only vertices whose label
-      CHANGED last round send messages — an unchanged label was already
-      delivered to every neighbor in an earlier round and can't lower
-      their minimum again, so each round's join shrinks to the active
-      frontier (star-shaped sameAs clusters mostly converge in round 1).
+    ``salt`` > 1 enables the hot-node broadcast split (kept under the
+    historical name; the split now broadcasts hot minima instead of
+    sharding edges — same goal, fewer moving parts). ``hot_degree`` is
+    the degree threshold. Results are identical either way — the levers
+    only change the physical join strategy.
+
+    Pass ``stats={}`` to get convergence telemetry back: ``rounds``
+    (star rounds until fixpoint) and ``edge_counts`` (surviving edge
+    count per round) — the observable for the O(log n) claim.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
+    split_hot = salt > 1
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
     )
-    # symmetrize once so each round is a single join direction
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-
-    # hot-sender detection (one pass): degree > hot_degree → salted path
-    hot = (
-        sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        .filter(F.col("deg") > hot_degree)
-        .select(F.col("a").alias("hot_id"))
-        .localCheckpoint(eager=True)
-        if salt > 1
-        else None
-    )
-    use_salt = salt > 1 and not hot.isEmpty()
-    if use_salt:
-        sym_hot = (
-            sym.join(F.broadcast(hot), sym["a"] == hot["hot_id"], "left_semi")
-            .withColumn("shard", F.pmod(F.xxhash64("b"), F.lit(salt)).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        sym_cold = sym.join(
-            F.broadcast(hot), sym["a"] == hot["hot_id"], "left_anti"
-        ).localCheckpoint(eager=True)
-    else:
-        sym_cold = sym.localCheckpoint(eager=True)
-        sym_hot = None
-
-    labels = (
-        sym.select(F.col("a").alias("id"))
+    verts = (
+        e0.select(F.col("u").alias("id"))
+        .unionByName(e0.select(F.col("v").alias("id")))
         .distinct()
-        .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    frontier = labels  # round 1: everyone sends
+    e = e0.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
 
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["edge_counts"] = []
+    prev_fp = None
     for _ in range(max_iter):
-        senders = frontier
-        msgs = sym_cold.join(senders, sym_cold["a"] == senders["id"], "inner").select(
-            F.col("b").alias("id"), F.col("component")
-        )
-        if use_salt:
-            # replicate ONLY hot senders' labels across shards
-            shards = senders.sparkSession.range(salt).select(
-                F.col("id").cast("int").alias("shard")
-            )
-            hot_senders = senders.join(
-                F.broadcast(hot), senders["id"] == hot["hot_id"], "left_semi"
-            ).crossJoin(F.broadcast(shards))
-            msgs_hot = sym_hot.join(
-                hot_senders,
-                (sym_hot["a"] == hot_senders["id"])
-                & (sym_hot["shard"] == hot_senders["shard"]),
-                "inner",
-            ).select(F.col("b").alias("id"), F.col("component"))
-            msgs = msgs.unionByName(msgs_hot)
-        nbr = msgs.groupBy("id").agg(F.min("component").alias("nbr_min"))
-        stepped = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-            (F.col("nbr_min") < F.col("component")).alias("changed"),
-        )
-        # pointer doubling (shortcutting): follow component → its own
-        # component once per round, turning O(chain length) convergence
-        # into O(log n) — the large-star idea from Kiveris et al. applied
-        # to the label table. One extra self-join per round.
-        ptr = stepped.select(
-            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
-        )
-        new_labels = (
-            stepped.join(ptr, stepped["component"] == ptr["p_id"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.col("changed")
-                    | (F.coalesce(F.col("p_comp"), F.col("component")) < F.col("component"))
-                ).alias("changed"),
-            )
+        e = _small_star(
+            _large_star(e, hot_degree, split_hot), hot_degree, split_hot
         ).localCheckpoint(eager=True)  # truncate lineage every round
-        frontier = new_labels.filter(F.col("changed")).drop("changed")
-        n_changed = frontier.count()
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        fp = (fp["n"], fp["h"])
+        if stats is not None:
+            stats["rounds"] += 1
+            stats["edge_counts"].append(fp[0])
+        if fp == prev_fp:
             break
-    return labels
+        prev_fp = fp
+
+    # at fixpoint e is a forest of stars (child u → component-min v);
+    # vertices absent from e (isolated / self-loop-only) label themselves
+    star = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("root"))
+    return verts.join(star, "id", "left").select(
+        "id", F.coalesce(F.col("root"), F.col("id")).alias("component")
+    )
 
 
 def canonicalize_triples(

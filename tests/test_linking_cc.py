@@ -106,6 +106,36 @@ def test_cc_long_chain_converges_logarithmically(spark):
     assert got == {(f"n{i:04d}", "n0000") for i in range(n + 1)}
 
 
+def test_cc_10k_chain_multi_hub_topology(spark):
+    """Nasty topology: a 10k-link path (worst case for plain min-label
+    propagation — O(n) rounds without shortcutting) fused with four
+    1.5k-leaf hubs (degree > hot_degree → exercises the salted path),
+    plus a disjoint pair to catch cross-component label leaks.
+
+    Asserts union-find parity AND that star contraction converges in
+    O(log n) rounds (log2(10001) ≈ 13.3; bound 18 leaves slack for the
+    hub merge; plain label propagation would need ~5,000 rounds here
+    because the hub's smaller label arrives after the chain's left half
+    has already converged to its regional minimum)."""
+    n = 10_000
+    edges = [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n)]
+    for h in range(4):
+        edges += [(f"hub{h}", f"hub{h}-leaf{i:04d}") for i in range(1_500)]
+    # ring the hubs together and graft them onto the chain's midpoint
+    edges += [(f"hub{h}", f"hub{(h + 1) % 4}") for h in range(4)]
+    edges += [("hub0", f"n{n // 2:05d}"), ("x1", "x2")]
+
+    df = spark.createDataFrame(edges, EDGE_SCHEMA).repartition(32)
+    stats: dict = {}
+    labels = connected_components(df, max_iter=20, hot_degree=1000, stats=stats)
+    got = {(r.id, r.component) for r in labels.collect()}
+    exp = set(reference_components(edges).items())
+    assert got == exp
+    assert stats["rounds"] <= 18, stats
+    # the contracted edge set must reach a fixpoint, not plateau mid-merge
+    assert stats["edge_counts"][-1] == stats["edge_counts"][-2]
+
+
 def test_cc_salted_path_equals_unsalted(spark):
     """Targeted salting (hot_degree low enough to trip on the corpus's
     hot entity) must produce the identical labeling as the plain path."""
