@@ -75,31 +75,60 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact word-trigram Jaccard similarity for candidate pairs.
+    """Exact word-trigram SET Jaccard for candidate pairs (distinct
+    shingles per doc — matching ``reference_jaccard``'s set semantics;
+    multiplicity counting would diverge on any doc with a repeated
+    trigram).
 
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    ``max_doc_freq`` drops shingles appearing in more than that many docs
-    before the self-join (candidate-explosion guard at scale).
-    """
-    sh = _doc_shingles(df, id_col, text_col)
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.countDistinct("doc").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
-        )
-        sh = sh.join(rare, "sh")
-    sizes = sh.groupBy("doc").agg(F.countDistinct("sh").alias("n_sh"))
 
-    a = sh.select(F.col("doc").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    ``max_doc_freq`` is the scale path: shingles appearing in more than
+    that many docs are boilerplate and are dropped, and — because every
+    surviving shingle now has a bounded posting list — the pair
+    candidates come from ONE groupBy(shingle) + a bounded in-row pair
+    explode (≤ d·(d-1)/2 ≤ 120 pairs at d=16) instead of a shingle
+    self-join. That removes the join's second full shuffle of the
+    posting relation AND halves the exploded volume (combinations, not
+    ordered pairs). ``max_doc_freq=None`` keeps the self-join as the
+    exact all-pairs baseline (an unbounded posting list would make the
+    in-row explode a single-task hot spot — worse than the join).
+    """
+    sh = _doc_shingles(df, id_col, text_col).distinct()
+    if max_doc_freq is not None:
+        buckets = sh.groupBy("sh").agg(F.collect_set("doc").alias("docs")).filter(
+            F.size("docs") <= max_doc_freq
+        )
+        posting = buckets.select(F.explode("docs").alias("doc"))
+        sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        pair = F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "docs",
+                        lambda a: F.transform(
+                            "docs", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                        ),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+        inter = (
+            buckets.filter(F.size("docs") >= 2)
+            .select(pair)
+            .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col("doc").alias("doc_a"), "sh")
+        b = sh.select(F.col("doc").alias("doc_b"), "sh")
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
