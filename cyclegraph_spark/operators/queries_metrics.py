@@ -248,3 +248,55 @@ def a17_badges_v22(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vi", "pa_hr", "w_per_beat", "precision_watt", "baseline_wpb",
         "badge_big_engine", "badge_metronome", "badge_dialed_in",
     ).orderBy("user_id", "week")
+
+
+# --------------------------------------------------------------------------
+# §2.8 — gap-based sessionization (batch twin of the stateful streaming op)
+# --------------------------------------------------------------------------
+@query(
+    "w8_sessionize_gap",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 21600 THEN 1 ELSE 0
+             END AS new_s
+      FROM lagged
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, sess_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_id
+    """,
+)
+def w8_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (gap = 6 h) over the events table —
+    the batch twin of streaming/sessionize.py's applyInPandasWithState
+    operator (closed-session parity asserted in
+    tests/test_streaming_sessionize.py). Reference semantics: session
+    boundaries by idle gap, /root/reference/cli/strava_import.py:289-313.
+    """
+    from cyclegraph_spark.streaming.sessionize import sessionize_batch
+
+    e = load(spark, sf_dir, "events")
+    return (
+        sessionize_batch(e, gap_s=21600)
+        .withColumn("total_value", F.round("total_value", 4))
+        .withColumn("sess_id", F.col("sess_id").cast("long"))
+        .select(
+            "user_id", "sess_id", "session_start", "session_end",
+            "n_events", "total_value",
+        )
+        .orderBy("user_id", "sess_id")
+    )

@@ -1,0 +1,99 @@
+"""Gap-sessionization: stream/batch parity + idle-timeout flush.
+
+The streaming operator (applyInPandasWithState) must emit exactly the
+closed sessions the batch twin computes — fed the same events, closed
+either by a later same-user event exceeding the gap or by the
+event-time watermark passing last_seen + gap.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cyclegraph_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+GAP_S = 21_600  # 6 h
+
+
+def _phase1(spark):
+    """A deterministic slice of the seeded events table (5 users)."""
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    )
+
+
+def _run_stream(spark, tmp_path, phases):
+    """Feed parquet phases through the stream; return collected rows."""
+    src = str(tmp_path / "stream_src")
+    sink = "sessions_out_" + tmp_path.name
+    phases[0].write.parquet(src)
+    stream = spark.readStream.schema(phases[0].schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_s=GAP_S, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for ph in phases[1:]:
+            ph.write.mode("append").parquet(src)
+            q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {sink}").collect()
+    finally:
+        q.stop()
+    return rows
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    p1 = _phase1(spark)
+    # phase 2: one far-future "closer" event per user — each user's open
+    # session closes via the in-batch gap rule, deterministically
+    far = dt.datetime(2031, 1, 1)
+    users = [r.user_id for r in p1.select("user_id").distinct().collect()]
+    p2 = spark.createDataFrame(
+        [(u, far, 0.0) for u in users], "user_id long, ts timestamp, value double"
+    )
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in _run_stream(spark, tmp_path, [p1, p2])
+    }
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in sessionize_batch(p1, gap_s=GAP_S).collect()
+    }
+    assert got == exp, (
+        f"missing={sorted(exp - got)[:3]} extra={sorted(got - exp)[:3]}"
+    )
+    assert len(exp) > len(users), "gap too wide — one session per user is no evidence"
+
+
+def test_sessionize_idle_timeout_flush(spark, tmp_path):
+    """A user who never comes back must still get their session emitted
+    once the watermark (advanced by OTHER users' events) passes
+    last_seen + gap — the EventTimeTimeout path."""
+    t0 = dt.datetime(2030, 1, 1, 12, 0, 0)
+    p1 = spark.createDataFrame(
+        [(1, t0, 5.0), (1, t0 + dt.timedelta(minutes=10), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    # sentinel user far past 1's gap — advances the global watermark
+    p2 = spark.createDataFrame(
+        [(999, t0 + dt.timedelta(days=2), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    # a third phase gives the engine a trigger in which the (now passed)
+    # timeout can fire
+    p3 = spark.createDataFrame(
+        [(999, t0 + dt.timedelta(days=2, minutes=1), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = _run_stream(spark, tmp_path, [p1, p2, p3])
+    mine = [r for r in rows if r.user_id == 1]
+    assert len(mine) == 1
+    assert mine[0].n_events == 2 and abs(mine[0].total_value - 12.0) < 1e-9
+    assert mine[0].session_start == t0
