@@ -28,17 +28,28 @@ from pyspark.sql import functions as F
 SHINGLE_N = 3
 
 
-def shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
-    """Word n-gram shingle array (distinct). Docs shorter than n tokens
-    yield an empty array (sequence(0, negative) would count DOWN in
-    Spark — guard with a when)."""
-    toks = F.split(F.trim(text_col), r"\s+")
+def shingles_from_tokens(toks: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingle array (distinct) from a PRE-SPLIT token array
+    column. Docs shorter than n tokens yield an empty array
+    (sequence(0, negative) would count DOWN in Spark — guard with a
+    when). Taking tokens rather than text matters: a split expression
+    referenced inside the transform lambda re-evaluates per array
+    element — O(tokens²) per doc (same hoist as linking.py's
+    candidate_ngrams; measured there at 50k pages: ~1.7×)."""
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.expr("array()").cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def shingles(text_col: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingle array (distinct) from raw text. Prefer
+    materializing ``split(trim(text))`` into a column first and calling
+    ``shingles_from_tokens`` — inside a single select, this expression
+    re-splits per transform element."""
+    return shingles_from_tokens(F.split(F.trim(text_col), r"\s+"), n)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -62,9 +73,14 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     # small corpora arrive as 1-2 parquet splits — the explode (and every
     # stage pipelined with it) would run on ONE task; widen first
-    # (no-op when the scan is already wide).
-    return ensure_min_partitions(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
-        "doc", F.explode(shingles(F.col(text_col))).alias("sh")
+    # (no-op when the scan is already wide). Tokenize in its own select
+    # so the shingle transform references a materialized array, not a
+    # per-element re-split.
+    toked = ensure_min_partitions(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    ).select("doc", F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"))
+    return toked.select(
+        "doc", F.explode(shingles_from_tokens(F.col("_toks"))).alias("sh")
     ).filter(F.col("sh") != "")
 
 
