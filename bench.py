@@ -92,6 +92,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "ann_cosine_topk",
     "t_token_stats",
+    "w8_sessionize_gap",
+    "a17_badges_v22",
 ]
 
 _GEN_SNIPPET = r"""

@@ -196,6 +196,41 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos_sim", F.round("cos_sim", 4))
 
 
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS ({_QUERY_VEC_SQL})
+    SELECT e.vec_id,
+           ROUND(
+             list_dot_product(e.embedding::DOUBLE[], q.q)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.q, q.q))), 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != 0
+    ORDER BY list_dot_product(e.embedding::DOUBLE[], q.q)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.q, q.q))) DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN gated in its exact mode: every cell probed, so the answer
+    equals brute-force top-10 REGARDLESS of the k-means clustering —
+    this gate checks the index plumbing (each vector assigned to exactly
+    one cell, probe filter + re-rank lossless). The approximate mode
+    (nprobe < n_cells) is recall-tested in tests/test_similarity_ivf.py;
+    at scale the assigned table is written partitionBy(cell) so a probe
+    is partition pruning, not a scan."""
+    from cyclegraph_spark.operators.similarity import ivf_index, ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    n_cells = 8
+    assigned, centroids = ivf_index(e.filter(F.col("vec_id") != 0), n_cells=n_cells)
+    out = ivf_topk(assigned, centroids, qvec, k=10, nprobe=n_cells)
+    return out.withColumn("cos_sim", F.round("cos_sim", 4))
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup pairs (exact baseline, SQL oracle)
 # --------------------------------------------------------------------------

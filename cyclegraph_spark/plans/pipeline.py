@@ -102,7 +102,8 @@ def run_pipeline(
         edges = edges.unionByName(
             prior.select(F.col("id").alias("src"), F.col("component").alias("dst"))
         )
-    labels = connected_components(edges)
+    cc_stats: dict = {}
+    labels = connected_components(edges, stats=cc_stats)
     if prior is not None:
         # stale ids: old canonical assignment != new one. Store rows hold
         # OLD canonical values (old component minima or never-labeled raw
@@ -128,7 +129,11 @@ def run_pipeline(
     # (prior == new ⇒ empty remap) and leave stale rows forever.
     write_labels(labels, out_dir)
     canon = canonicalize_triples(triples, labels, keep_cols=("src", "part_id"))
-    metrics["cc"] = {"sec": round(time.time() - t0, 3)}
+    metrics["cc"] = {
+        "sec": round(time.time() - t0, 3),
+        "rounds": cc_stats.get("rounds"),
+        "edges": (cc_stats.get("edge_counts") or [None])[-1],
+    }
 
     # --- link BEFORE the manifest commit, idempotently: links are
     # partitioned by the same provenance bucket and written with DYNAMIC

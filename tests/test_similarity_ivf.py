@@ -1,0 +1,57 @@
+"""IVF ANN: exact-mode equivalence + recall of the approximate mode."""
+
+from pyspark.sql import functions as F
+
+from cyclegraph_spark.operators.similarity import (
+    cosine_topk,
+    ivf_index,
+    ivf_topk,
+    reference_cosine_topk,
+)
+
+SF = "/root/testdata/sf0.001/embeddings.parquet"
+K = 10
+N_CELLS = 8
+
+
+def _setup(spark):
+    e = spark.read.parquet(SF)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = e.filter(F.col("vec_id") != 0)
+    return base, qvec
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe = n_cells must reproduce brute force exactly — proves the
+    assignment is a partition (each vector in exactly one cell)."""
+    base, qvec = _setup(spark)
+    assigned, centroids = ivf_index(base, n_cells=N_CELLS)
+    assert assigned.count() == base.count()
+    assert assigned.select("vec_id").distinct().count() == base.count()
+    got = [(r.vec_id, round(r.cos_sim, 6)) for r in ivf_topk(assigned, centroids, qvec, k=K, nprobe=N_CELLS).collect()]
+    exp = [(r.vec_id, round(r.cos_sim, 6)) for r in cosine_topk(base, qvec, k=K).collect()]
+    assert got == exp
+    # and both agree with the single-node twin
+    rows = [(r.vec_id, list(r.embedding)) for r in base.collect()]
+    twin = [(i, round(c, 6)) for i, c in reference_cosine_topk(rows, qvec, k=K)]
+    assert got == twin
+
+
+def test_ivf_probe_recall(spark):
+    """Probing half the cells must recover most of the true top-k (the
+    query's neighbors concentrate in the cells nearest the query)."""
+    base, qvec = _setup(spark)
+    assigned, centroids = ivf_index(base, n_cells=N_CELLS)
+    exact = {r.vec_id for r in cosine_topk(base, qvec, k=K).collect()}
+    approx = {
+        r.vec_id for r in ivf_topk(assigned, centroids, qvec, k=K, nprobe=N_CELLS // 2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@{K} = {recall} with nprobe={N_CELLS // 2}"
+    # candidate set genuinely shrank — this is an ANN, not a rename
+    n_cand = assigned.filter(F.col("cell").isin(
+        [i for _, i in sorted(
+            (sum((a - b) ** 2 for a, b in zip(qvec, c)), i) for i, c in enumerate(centroids)
+        )[: N_CELLS // 2]]
+    )).count()
+    assert n_cand < base.count()
