@@ -38,12 +38,9 @@ def _stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# P1 — the flagship triple mapper under the DuckDB gate (full SQL oracle)
-# --------------------------------------------------------------------------
-@query(
-    "kg_stream_triples",
-    oracle=f"""
+# the full reference-mapper lift in SQL (shared by the stream-triples
+# gate and the node-table gate)
+_TRIPLES_SQL = f"""
     WITH s AS ({_STREAM_SQL}),
     u AS (
       SELECT concat('https://cyclegraph.dev/sample/', trim(activity_id), '/',
@@ -82,7 +79,16 @@ def _stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(trim(altitude) AS DOUBLE)::VARCHAR,
            'http://www.w3.org/2001/XMLSchema#float'
     FROM u WHERE trim(altitude) != '' AND TRY_CAST(trim(altitude) AS DOUBLE) IS NOT NULL
-    ORDER BY subj, pred, obj
+"""
+
+
+# --------------------------------------------------------------------------
+# P1 — the flagship triple mapper under the DuckDB gate (full SQL oracle)
+# --------------------------------------------------------------------------
+@query(
+    "kg_stream_triples",
+    oracle=f"""
+    SELECT * FROM ({_TRIPLES_SQL}) ORDER BY subj, pred, obj
     """,
 )
 def kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,6 +97,48 @@ def kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyclegraph_spark.operators.triples import lift_stream_rows
 
     return lift_stream_rows(_stream_df(spark, sf_dir)).orderBy("subj", "pred", "obj")
+
+
+# --------------------------------------------------------------------------
+# node table — the store's per-entity companion artifact, full SQL oracle
+# --------------------------------------------------------------------------
+@query(
+    "kg_node_table",
+    oracle=f"""
+    WITH t AS ({_TRIPLES_SQL}),
+    subs AS (
+      SELECT subj AS id, COUNT(*) AS n_out,
+             COUNT(DISTINCT CASE WHEN pred =
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+               THEN obj END) AS n_types,
+             MIN(CASE WHEN pred = 'http://schema.org/name' THEN obj END) AS name
+      FROM t GROUP BY subj
+    ),
+    objs AS (
+      SELECT obj AS id, COUNT(*) AS n_in FROM t
+      WHERE obj_dtype = 'uri' GROUP BY obj
+    )
+    SELECT COALESCE(s.id, o.id) AS id,
+           COALESCE(n_out, 0)::BIGINT AS n_out,
+           COALESCE(n_in, 0)::BIGINT AS n_in,
+           COALESCE(n_types, 0)::BIGINT AS n_types,
+           name
+    FROM subs s FULL OUTER JOIN objs o ON s.id = o.id
+    ORDER BY id
+    """,
+)
+def kg_node_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node table over the lifted stream triples: degree profile +
+    display name per node (the north rule's "node tables" companion to
+    the triple store; in the pipeline it is derived from the
+    materialized store and written partitionBy(bucket), plans/
+    pipeline.py). Two map-side-combined aggs + one full-outer join —
+    no self-join, hot nodes are one row per agg."""
+    from cyclegraph_spark.operators.nodes import node_table
+    from cyclegraph_spark.operators.triples import lift_stream_rows
+
+    triples = lift_stream_rows(_stream_df(spark, sf_dir))
+    return node_table(triples).orderBy("id")
 
 
 # --------------------------------------------------------------------------

@@ -181,6 +181,26 @@ def run_pipeline(
         n = spark.read.parquet(os.path.join(out_dir, "violations")).count()
         metrics["validate"] = {"rows": n, "sec": round(time.time() - t0, 3)}
 
+    # --- node table (north-rule companion artifact): derived wholly
+    # from the materialized store, full recompute + overwrite per run —
+    # idempotent by construction, same discipline as the validate report
+    t0 = time.time()
+    from cyclegraph_spark.operators.nodes import node_table
+
+    store = spark.read.parquet(os.path.join(out_dir, "data"))
+    nodes = node_table(store).withColumn(
+        "bucket", F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
+    )
+    (
+        nodes.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "nodes"))
+    )
+    spark.catalog.refreshByPath(os.path.join(out_dir, "nodes"))
+    n = spark.read.parquet(os.path.join(out_dir, "nodes")).count()
+    metrics["nodes"] = {"rows": n, "sec": round(time.time() - t0, 3)}
+
     append_lineage(
         out_dir,
         [

@@ -108,10 +108,27 @@ def test_full_pipeline_and_compaction(spark, tmp_path):
     assert m["materialize"]["rows"] > 0
     assert m["validate"]["rows"] > 0  # corpus has malformed power values
     assert m["link"]["rows"] > 0
+    assert m["cc"]["rounds"] >= 1  # convergence telemetry recorded
 
     # canonicalization rewired site-local URIs to global kg ids
     store = spark.read.parquet(out + "/data")
     assert store.filter(F.col("subj").contains("kg.example/entity/")).count() > 0
+
+    # node table: one row per node, degrees consistent with the store,
+    # the corpus's itemprop=name surfaces as a display name
+    from cyclegraph_spark.operators.nodes import node_table
+
+    nodes = spark.read.parquet(out + "/nodes")
+    assert m["nodes"]["rows"] == nodes.count()
+    assert nodes.select("id").distinct().count() == nodes.count()
+    recomputed = {
+        (r.id, r.n_out, r.n_in, r.n_types, r.name)
+        for r in node_table(store.select("subj", "pred", "obj", "obj_dtype")).collect()
+    }
+    assert {
+        (r.id, r.n_out, r.n_in, r.n_types, r.name) for r in nodes.drop("bucket").collect()
+    } == recomputed
+    assert nodes.filter(F.col("name").isNotNull()).count() > 0
 
     # resume: second run writes nothing new; links stay stable (dynamic
     # overwrite with an empty frame touches no partitions)
