@@ -89,6 +89,8 @@ def test_cc_parity_chain_and_stars(spark):
         + [("z", f"leaf{i}") for i in range(20)]
         # singleton pair + disjoint component
         + [("m", "n"), ("q", "p")]
+        # self-loop-only vertex: must label itself, not vanish
+        + [("solo", "solo")]
     )
     df = spark.createDataFrame(edges, EDGE_SCHEMA)
     got = {(r.id, r.component) for r in connected_components(df).collect()}
