@@ -159,6 +159,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup clustering — the canonical training-data
+    dedup shape: pair generation (capped trigram Jaccard) → connected
+    components over the pair graph (transitive closure: A~B and B~C
+    put A,C in one cluster even below pairwise threshold) → canonical
+    survivor = MIN doc id per cluster (O3/O6 determinism discipline).
+
+    Reuses the star-contraction CC operator, so cluster formation is
+    O(log n) rounds and hot near-dup hubs (one boilerplate page with
+    thousands of copies) take the broadcast-split path.
+
+    Output: (doc_id, canonical_id) for every doc that belongs to a
+    cluster of size ≥ 2 (singletons are their own canonical and are
+    omitted — at 100 TB that keeps the output proportional to the
+    duplicated subset, not the corpus).
+    """
+    from cyclegraph_spark.operators.cc import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col,
+        threshold=threshold, max_doc_freq=max_doc_freq,
+    )
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64
 ) -> DataFrame:

@@ -100,12 +100,9 @@ def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d).orderBy("keeper_id")
 
 
-# --------------------------------------------------------------------------
-# exact n-gram Jaccard near-dup pairs
-# --------------------------------------------------------------------------
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+# exact capped trigram-Jaccard pairs in SQL (shared by the pairs gate and
+# the cluster gate)
+_JACCARD_PAIRS_SQL = """
     WITH sh AS (
       SELECT doc_id AS doc, UNNEST(list_distinct(sh_list)) AS sh FROM (
         SELECT doc_id,
@@ -141,7 +138,16 @@ def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc = doc_a
     JOIN sizes sb ON sb.doc = doc_b
     WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
-    ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    SELECT * FROM ({_JACCARD_PAIRS_SQL}) ORDER BY doc_a, doc_b
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +164,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → canonical survivor
+# --------------------------------------------------------------------------
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    -- transitive closure by label spreading: every node starts as its
+    -- own origin; each step carries origins one hop; UNION dedups, so
+    -- the recursion terminates at the reachability fixpoint
+    walk AS (
+      SELECT u AS id, u AS origin FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v AS id, w.origin FROM walk w JOIN edges e ON e.u = w.id
+    )
+    SELECT id AS doc_id, MIN(origin) AS canonical_id
+    FROM walk GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering over documents (threshold 0.12, capped at
+    df<=16): transitive closure of the Jaccard pair graph via the
+    star-contraction CC operator, canonical survivor = min doc id. The
+    oracle recomputes the closure with a recursive CTE — a fully
+    computed SQL oracle for an iterative operator."""
+    from cyclegraph_spark.operators.dedup import dedup_clusters as _dc
+
+    d = load(spark, sf_dir, "documents")
+    return _dc(d, threshold=0.12, max_doc_freq=16).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -138,3 +138,30 @@ def test_lsh_topk_subset_of_brute_force_ranking(spark):
     true_top = [vid for vid, _ in sorted(brute.items(), key=lambda t: (-t[1], t[0]))[:10]]
     hit = len(set(vid for vid, _ in approx) & set(true_top))
     assert hit >= 3, f"ANN recall too low: {hit}/10"
+
+
+def test_dedup_clusters_matches_unionfind_twin(spark, docs, doc_texts):
+    """pairs→CC→canonical must equal reference_jaccard over all pairs
+    fed through the union-find twin (transitive closure included)."""
+    from itertools import combinations
+
+    from cyclegraph_spark.operators.cc import reference_components
+    from cyclegraph_spark.operators.dedup import dedup_clusters
+
+    got = {
+        (r.doc_id, r.canonical_id)
+        for r in dedup_clusters(docs, threshold=0.3).collect()
+    }
+    pairs = [
+        (a, b)
+        for a, b in combinations(sorted(doc_texts), 2)
+        if reference_jaccard(doc_texts[a], doc_texts[b]) >= 0.3
+    ]
+    exp = set(reference_components(pairs).items())
+    assert got == exp
+    assert len(got) > 2, "corpus yielded no multi-doc clusters — no evidence"
+    # transitivity: at least one cluster of size >= 2 shares a canonical id
+    by_canon: dict = {}
+    for d, c in got:
+        by_canon.setdefault(c, []).append(d)
+    assert max(len(v) for v in by_canon.values()) >= 2
