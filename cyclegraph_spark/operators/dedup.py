@@ -331,3 +331,52 @@ def reference_jaccard(a: str, b: str, n: int = SHINGLE_N) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def split_contamination(
+    df: DataFrame,
+    is_train: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Train/eval decontamination check: for each EVAL doc, how many of
+    its distinct word n-gram shingles also occur anywhere in the TRAIN
+    split.
+
+    Output: (doc_id, n_sh, n_contaminated, contamination) for eval docs
+    with at least one shingle; contamination = n_contaminated / n_sh.
+
+    Scale shape: one distinct-shingle explode, one distinct over the
+    train shingle set, one left-semi-style join keyed on the shingle —
+    all hash-partitioned on `sh`, AQE-skew-safe. At 100 TB put a bloom
+    filter on the train shingle set first (`spark.sql.optimizer.
+    runtime.bloomFilter.enabled` covers the shuffle-join case
+    automatically) so the eval side prunes before the shuffle.
+    """
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_t"), is_train.alias("_tr"))
+    toked = base.select(
+        "doc", "_tr", F.split(F.trim(F.col("_t")), r"\s+").alias("_toks")
+    )
+    sh = (
+        toked.select(
+            "doc", "_tr",
+            F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh"),
+        )
+        .filter(F.col("sh") != "")
+        .distinct()
+    )
+    train_sh = sh.filter(F.col("_tr")).select("sh").distinct()
+    eval_sh = sh.filter(~F.col("_tr"))
+    hits = eval_sh.join(train_sh.withColumn("_hit", F.lit(1)), "sh", "left")
+    return (
+        hits.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated") / F.col("n_sh"),
+        )
+    )

@@ -167,6 +167,125 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PII scrubbing (email / IPv4 / phone redaction + typed counts)
+# --------------------------------------------------------------------------
+@query(
+    "t_pii_redaction",
+    oracle=r"""
+    WITH seeded AS (
+      -- the corpus has no real PII; plant deterministic PII per doc so
+      -- the redaction is exercised non-vacuously and stays reproducible
+      SELECT doc_id,
+             concat(text, ' contact user', doc_id::VARCHAR,
+                    '@mail.example.com or 10.2.', (doc_id % 256)::VARCHAR,
+                    '.9 tel +1-555-010-', (doc_id % 97)::VARCHAR) AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ), step1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+               AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS t1
+      FROM seeded
+    ), step2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1,
+                 '\b(\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+             regexp_replace(t1, '\b(\d{1,3}\.){3}\d{1,3}\b',
+                            '[IP]', 'g') AS t2
+      FROM step1
+    ), step3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+             len(regexp_extract_all(t2,
+                 '\+?\d[\d().\-\s]{6,}\d'))::BIGINT AS n_phone,
+             regexp_replace(t2, '\+?\d[\d().\-\s]{6,}\d',
+                            '[PHONE]', 'g') AS redacted
+      FROM step2
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone, md5(redacted) AS redacted_md5
+    FROM step3 ORDER BY doc_id
+    """,
+)
+def t_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic planted PII (the
+    word-salad corpus has none): typed counts + md5 of the fully
+    redacted text, verified against DuckDB running the identical
+    RE2/Java-compatible patterns."""
+    from cyclegraph_spark.operators.textstats import pii_counts, redact_pii
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".9 tel +1-555-010-"), (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return seeded.select(
+        "doc_id",
+        counts["n_email"].cast("long").alias("n_email"),
+        counts["n_ipv4"].cast("long").alias("n_ipv4"),
+        counts["n_phone"].cast("long").alias("n_phone"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# train/eval split decontamination (shingle overlap across splits)
+# --------------------------------------------------------------------------
+@query(
+    "t_split_contamination",
+    oracle="""
+    WITH sh0 AS (
+      SELECT doc_id AS doc, UNNEST(list_distinct(sh_list)) AS sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3 THEN
+                 list_transform(
+                   range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                   i -> concat_ws(' ',
+                        string_split_regex(trim(text), '\\s+')[i],
+                        string_split_regex(trim(text), '\\s+')[i+1],
+                        string_split_regex(trim(text), '\\s+')[i+2]))
+               ELSE [] END AS sh_list
+        FROM documents
+      )
+    ), split AS (
+      SELECT doc, sh, (doc % 10) < 8 AS tr FROM sh0 WHERE sh != ''
+    ), train_sh AS (
+      SELECT DISTINCT sh FROM split WHERE tr
+    ), ev AS (
+      SELECT doc, sh FROM split WHERE NOT tr
+    )
+    SELECT doc AS doc_id, COUNT(*)::BIGINT AS n_sh,
+           SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_contaminated,
+           ROUND(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS contamination
+    FROM ev LEFT JOIN train_sh t USING (sh)
+    GROUP BY doc ORDER BY doc_id
+    """,
+)
+def t_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: trigram-shingle overlap of each eval doc
+    (doc_id %% 10 >= 8) against the train split's shingle set — the
+    standard benchmark-leakage check a training-data pipeline runs
+    before every release."""
+    from cyclegraph_spark.operators.dedup import split_contamination
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        split_contamination(d, is_train=(F.col("doc_id") % 10) < 8)
+        .withColumn("contamination", F.round("contamination", 6))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # near-dup clustering: pairs → connected components → canonical survivor
 # --------------------------------------------------------------------------
 @query(

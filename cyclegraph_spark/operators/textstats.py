@@ -107,3 +107,37 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — regex surface chosen to behave identically under Java
+# regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookaround
+# --------------------------------------------------------------------------
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d().\-\s]{6,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholders. Order matters: emails first (they contain dots
+    and digits that the later patterns would shred), then IPs, then the
+    greedy phone pattern over what remains."""
+    out = text_col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-kind match counts, each computed on the text with the EARLIER
+    kinds already redacted — otherwise the greedy phone pattern would
+    also count every IPv4 (dotted digit runs match it)."""
+    out: dict[str, Column] = {}
+    cur = text_col
+    for kind, pat, repl in PII_PATTERNS:
+        out[f"n_{kind}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out

@@ -165,3 +165,51 @@ def test_dedup_clusters_matches_unionfind_twin(spark, docs, doc_texts):
     for d, c in got:
         by_canon.setdefault(c, []).append(d)
     assert max(len(v) for v in by_canon.values()) >= 2
+
+
+def test_pii_redaction_semantics(spark):
+    """Counts come from progressively-redacted text (an IPv4 must not
+    double-count as a phone) and redaction replaces every occurrence."""
+    from cyclegraph_spark.operators.textstats import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@x.io and c@y.co.uk ip 10.0.0.1 tel +47 22 33 44 55 end"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    c = pii_counts(F.col("text"))
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id", *[c[k].alias(k) for k in ("n_email", "n_ipv4", "n_phone")],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (2, 1, 1)
+    assert "[EMAIL]" in rows[1].red and "[IP]" in rows[1].red and "[PHONE]" in rows[1].red
+    assert "@" not in rows[1].red and "10.0.0.1" not in rows[1].red
+    assert rows[2].red == "no pii here at all"
+
+
+def test_split_contamination_planted(spark):
+    """A copied doc across splits must read contamination 1.0; a unique
+    eval doc 0.0 (no shingle in train)."""
+    from cyclegraph_spark.operators.dedup import split_contamination
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # train
+            (8, "alpha beta gamma delta epsilon zeta"),   # eval copy → 1.0
+            (9, "one two three four five six"),           # eval unique → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in split_contamination(df, is_train=(F.col("doc_id") % 10) < 8).collect()
+    }
+    assert set(out) == {8, 9}
+    assert out[8].contamination == 1.0
+    assert out[9].contamination == 0.0
