@@ -262,8 +262,11 @@ def a17_badges_v22(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), marked AS (
       SELECT user_id, ts, value,
+             -- epoch_us: microsecond-exact, matching Spark's unix_micros
+             -- (fractional epoch() doubles lose precision at 1e9 s)
              CASE WHEN prev IS NULL
-                       OR epoch(ts) - epoch(prev) > 21600 THEN 1 ELSE 0
+                       OR epoch_us(ts) - epoch_us(prev) > 21600::BIGINT * 1000000
+                  THEN 1 ELSE 0
              END AS new_s
       FROM lagged
     ), sess AS (

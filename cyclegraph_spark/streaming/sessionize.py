@@ -56,9 +56,17 @@ def sessionize_batch(
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
+    # microsecond-exact gap test: unix_timestamp() truncates to whole
+    # seconds, so a gap of gap_s + 0.4s would NOT open a session while
+    # any sub-second-aware twin (the streaming op, the DuckDB oracle)
+    # says it does — found as an off-by-one-session at sf0.1
     new_sess = F.when(
         prev.isNull()
-        | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev) > gap_s),
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > gap_s * 1_000_000
+        ),  # testdata carries TIMESTAMP_NTZ; session tz is pinned UTC
         F.lit(1),
     ).otherwise(F.lit(0))
     marked = events.select(
