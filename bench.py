@@ -94,6 +94,8 @@ HEADLINE = [
     "t_token_stats",
     "w8_sessionize_gap",
     "a17_badges_v22",
+    "dedup_clusters",
+    "t_split_contamination",
 ]
 
 _GEN_SNIPPET = r"""
