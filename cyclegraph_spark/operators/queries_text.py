@@ -167,6 +167,85 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# URL canonicalization (page-node identity for the KG)
+# --------------------------------------------------------------------------
+@query(
+    "t_url_canonical",
+    oracle=r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat('HTTP', CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END,
+                    '://Site', (doc_id % 7)::VARCHAR, '.Example.COM',
+                    CASE WHEN doc_id % 3 = 0
+                         THEN CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                         ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0 THEN ''
+                         ELSE concat('/Path/', (doc_id % 11)::VARCHAR) END,
+                    '?utm_source=feed&b=', (doc_id % 4)::VARCHAR,
+                    '&a=1&&utm_campaign=x',
+                    '#frag', doc_id::VARCHAR) AS url
+      FROM documents WHERE doc_id % 4 = 0
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\?([^#]*)', 1) AS q
+      FROM seeded
+    ), norm AS (
+      SELECT doc_id, scheme,
+             CASE WHEN scheme = 'http' AND auth0 LIKE '%:80'
+                    THEN regexp_replace(auth0, ':80$', '')
+                  WHEN scheme = 'https' AND auth0 LIKE '%:443'
+                    THEN regexp_replace(auth0, ':443$', '')
+                  ELSE auth0 END AS auth,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             list_sort(list_filter(string_split(q, '&'),
+                       p -> p != '' AND NOT starts_with(p, 'utm_'))) AS params
+      FROM parts
+    )
+    SELECT doc_id,
+           concat(scheme, '://', auth, path,
+                  CASE WHEN len(params) > 0
+                       THEN concat('?', array_to_string(params, '&'))
+                       ELSE '' END) AS canonical
+    FROM norm ORDER BY doc_id
+    """,
+)
+def t_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically seeded messy URLs
+    (mixed case, default ports, utm params, out-of-order query, empty
+    paths, fragments): canonical form = page-node identity for the KG.
+    Pure Column regex/array ops; the oracle reimplements the identical
+    rules in DuckDB."""
+    from cyclegraph_spark.functions.urls import canonical_url
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+            F.lit("://Site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/Path/"), (F.col("doc_id") % 11).cast("string"))
+            ),
+            F.lit("?utm_source=feed&b="), (F.col("doc_id") % 4).cast("string"),
+            F.lit("&a=1&&utm_campaign=x"),
+            F.lit("#frag"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return seeded.select(
+        "doc_id", canonical_url(F.col("url")).alias("canonical")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing (email / IPv4 / phone redaction + typed counts)
 # --------------------------------------------------------------------------
 @query(

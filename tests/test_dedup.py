@@ -213,3 +213,19 @@ def test_split_contamination_planted(spark):
     assert set(out) == {8, 9}
     assert out[8].contamination == 1.0
     assert out[9].contamination == 0.0
+
+
+def test_canonical_url_rules(spark):
+    from cyclegraph_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b?z=2&a=1#frag", "http://www.ex.com/A/b?a=1&z=2"),
+        ("https://ex.com:443", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default port kept
+        ("http://ex.com/p?utm_source=x&utm_campaign=y", "http://ex.com/p"),
+        ("http://ex.com/p?", "http://ex.com/p"),
+        ("http://ex.com:443/p", "http://ex.com:443/p"),  # 443 on http kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
