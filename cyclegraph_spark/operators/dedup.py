@@ -380,3 +380,25 @@ def split_contamination(
             F.col("n_contaminated") / F.col("n_sh"),
         )
     )
+
+
+def hash_split(
+    id_col: Column,
+    cuts: tuple[tuple[str, str], ...] = (("train", "cc"), ("val", "e6")),
+    last: str = "test",
+) -> Column:
+    """Deterministic train/val/test assignment by content hash of the id.
+
+    md5 hex is fixed-width lowercase, so lexicographic order IS numeric
+    order: a cut at hex prefix 'cc' (204/256) puts ~79.7% below it,
+    'e6' (230/256) the next ~10.2%, remainder ~9.8%. Assignment depends
+    only on the id — stable under repartitioning, re-runs, corpus
+    growth, and engine (any md5 implementation agrees), which is what a
+    training-data pipeline needs so yesterday's val doc never leaks
+    into tomorrow's train shard.
+    """
+    h = F.md5(id_col.cast("string").cast("binary"))
+    expr = F.lit(last)
+    for name, cut in reversed(cuts):
+        expr = F.when(h < F.lit(cut), F.lit(name)).otherwise(expr)
+    return expr

@@ -315,6 +315,44 @@ def t_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# deterministic hash-based split assignment
+# --------------------------------------------------------------------------
+@query(
+    "t_split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS hex FROM documents
+    ), assigned AS (
+      SELECT doc_id,
+             CASE WHEN hex < 'cc' THEN 'train'
+                  WHEN hex < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split, COUNT(*)::BIGINT AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 split by md5(doc_id) hex range —
+    engine-independent (any md5 agrees), stable under repartitioning
+    and corpus growth. Gated on the per-split counts + id extrema."""
+    from cyclegraph_spark.operators.dedup import hash_split
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
 # train/eval split decontamination (shingle overlap across splits)
 # --------------------------------------------------------------------------
 @query(

@@ -229,3 +229,26 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_hash_split_stable_and_proportional(spark):
+    from cyclegraph_spark.operators.dedup import hash_split
+
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    out = {
+        r.split: r.n
+        for r in df.select(hash_split(F.col("doc_id")).alias("split"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(out.values())
+    assert total == 10_000
+    assert abs(out["train"] / total - 0.797) < 0.02  # cc/256
+    assert abs(out["val"] / total - 0.102) < 0.01
+    # stable under repartitioning
+    out2 = {
+        r.split: r.n
+        for r in df.repartition(32)
+        .select(hash_split(F.col("doc_id")).alias("split"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert out2 == out
