@@ -153,6 +153,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     e = e0.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    # a graph this small cannot produce a join partition worth splitting,
+    # but the hot probes cost two actions (each re-running the minima
+    # agg) per round — skip them; the count is one cheap scan of the
+    # already-checkpointed edges
+    if split_hot and e.count() < 10_000:
+        split_hot = False
 
     if stats is not None:
         stats["rounds"] = 0
