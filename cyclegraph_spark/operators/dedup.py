@@ -111,8 +111,22 @@ def ngram_jaccard_pairs(
     """
     sh = _doc_shingles(df, id_col, text_col).distinct()
     if max_doc_freq is not None:
-        buckets = sh.groupBy("sh").agg(F.collect_set("doc").alias("docs")).filter(
-            F.size("docs") <= max_doc_freq
+        # COUNT-FIRST discipline: the df cap must be applied with a
+        # map-side-combinable count aggregate, not by filtering
+        # collect_set output — a boilerplate shingle ("all rights
+        # reserved") can sit in ~10^8 docs at corpus scale, and a
+        # collect_set that materializes the full posting set before the
+        # filter OOMs one reducer on exactly the keys the cap exists to
+        # kill. Count (bounded state) → filter → join survivors →
+        # collect_set (now provably ≤ max_doc_freq elements per group).
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        buckets = sh.join(rare, "sh").groupBy("sh").agg(
+            F.collect_set("doc").alias("docs")
         )
         posting = buckets.select(F.explode("docs").alias("doc"))
         sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -200,13 +214,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc in ONE aggregation.
 
+    Hash-once discipline: the variable-length shingle STRING is xxhashed
+    exactly once per row; the k per-permutation values then rehash that
+    8-byte long with each seed (``xxhash64(_h, i)`` = two fixed-width
+    lane operations), instead of re-hashing the string k times. Same
+    uniformity, ~k× less byte-hashing on the hot path; single-node twin
+    mirrors the chain (tools/gen_value_oracles.py ``shingle_sig``).
+
     Output: (doc, sig: array<bigint> length k).
     """
     sh = _doc_shingles(df, id_col, text_col)
+    hashed = sh.select("doc", F.xxhash64("sh").alias("_h"))
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(k)
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}") for i in range(k)
     ]
-    agg = sh.groupBy("doc").agg(*mins)
+    agg = hashed.groupBy("doc").agg(*mins)
     return agg.select("doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 
@@ -295,20 +317,56 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return agg.select("doc", sig.alias("simhash"))
 
 
-def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 8, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 6, bands: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance — pigeonhole multi-band
+    blocking with FULL recall.
 
-    Blocking: equi-join on the top ``prefix_bits`` bits (docs differing
-    only in low bits collide), then exact hamming via bit_count(xor).
-    At scale use multiple rotations for full recall; one block here.
+    The 63 signature bits split into ``bands`` contiguous bands (default
+    ``max_hamming + 1``). Two signatures within ``max_hamming`` differing
+    bits can touch at most ``max_hamming`` bands, so at least one band is
+    bit-identical — the union of the per-band equi-joins therefore
+    surfaces EVERY qualifying pair (recall 1.0 for hamming < bands; the
+    exact ``bit_count(xor)`` filter then removes band-collision false
+    positives). Versus a single bit-prefix block this trades b small
+    selective joins for guaranteed recall and kills the (n/blocks)²
+    residual all-pairs inside one block: each band value is ~63/b bits,
+    so candidates stay near-linear at corpus scale, and the per-band
+    joins are plain hash joins AQE can skew-split.
+
     Output: (doc_a, doc_b, hamming <= max_hamming).
     """
-    blocked = sigs.withColumn("block", F.shiftright("simhash", 63 - prefix_bits))
-    a = blocked.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("s_a"), "block")
-    b = blocked.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("s_b"), "block")
+    b = bands if bands is not None else max_hamming + 1
+    base, rem = divmod(63, b)
+    widths = [base + (1 if i < rem else 0) for i in range(b)]
+    offs = [sum(widths[:i]) for i in range(b)]
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", offs[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                    .alias("val"),
+                )
+                for i in range(b)
+            ])
+        ).alias("bv"),
+    ).select("doc", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = banded.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("s_a"), "band", "val"
+    )
+    bb = banded.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("s_b"), "band", "val"
+    )
     return (
-        a.join(b, "block")
+        a.join(bb, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "s_a", "s_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -592,13 +592,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=VALUES_ORACLES["dedup_simhash"])
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 16 of 63 bits, 8-bit block)."""
+    """SimHash near-dup pairs (hamming ≤ 6 of 63 bits) on the 7-band
+    pigeonhole blocking plan — full recall by construction, so the
+    brute-force twin's VALUES table gates the banding itself."""
     from cyclegraph_spark.operators.dedup import simhash, simhash_near_pairs
 
     d = load(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash(d), max_hamming=16, prefix_bits=8).orderBy(
-        "doc_a", "doc_b"
-    )
+    return simhash_near_pairs(simhash(d), max_hamming=6).orderBy("doc_a", "doc_b")
 
 
 def _bucket_sql(vec_expr: str, n_planes: int, seed: int = 42) -> str:

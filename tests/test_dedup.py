@@ -75,8 +75,50 @@ def test_simhash_deterministic_and_near_pairs(spark, docs):
     s2 = {r.doc: r.simhash for r in simhash(docs.repartition(16)).collect()}
     assert s1 == s2  # parallelism-invariant signatures
     assert all(v >= 0 for v in s1.values())  # 63-bit, non-negative
-    pairs = simhash_near_pairs(simhash(docs), max_hamming=16, prefix_bits=8).collect()
-    assert all(r.hamming <= 16 for r in pairs)
+    pairs = simhash_near_pairs(simhash(docs), max_hamming=6).collect()
+    assert all(r.hamming <= 6 for r in pairs)
+
+
+def test_simhash_banding_full_recall(spark, docs):
+    """Pigeonhole guarantee: with bands = max_hamming + 1, the banded
+    plan must surface EVERY pair within the hamming budget — compare
+    exactly against brute force over the collected signatures."""
+    sigs = {r.doc: r.simhash for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    for max_h in (4, 6):
+        brute = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+        }
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_near_pairs(simhash(docs), max_hamming=max_h).collect()
+        }
+        assert got == brute, f"banding lost/invented pairs at max_hamming={max_h}"
+    assert len(got) > 0, "0-pair parity is no evidence"
+
+
+def test_ngram_cap_counts_before_collect_set(spark, docs):
+    """Scale audit: the df cap must be applied by a count aggregate (a
+    child of the collect_set agg), never by filtering collect_set output
+    — an unbounded posting set on a boilerplate shingle OOMs a reducer.
+    In the optimized plan tree children print BELOW parents, so the
+    count-filter text must appear after 'collect_set'."""
+    plan = ngram_jaccard_pairs(
+        docs, threshold=0.12, max_doc_freq=16
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set" in plan
+    filters = [ln for ln in plan.splitlines() if "<= 16" in ln and "Filter" in ln]
+    assert filters, "df-cap filter missing from the plan"
+    assert plan.index("collect_set") < plan.index(filters[0]), (
+        "df-cap filter sits above collect_set — posting sets unbounded"
+    )
+    # the old post-hoc shape applied the cap to collect_set output
+    assert not [
+        ln for ln in plan.splitlines() if "size(docs" in ln and "<= 16" in ln
+    ]
 
 
 def test_embedding_near_dups_lsh_recall(spark):

@@ -37,8 +37,10 @@ OUT = os.path.join(REPO, "cyclegraph_spark", "operators", "oracles_values.py")
 MINHASH_K = 64
 MINHASH_BANDS, MINHASH_ROWS = 16, 4
 MINHASH_EST_THRESHOLD = 0.1
-SIMHASH_MAX_HAMMING = 16
-SIMHASH_PREFIX_BITS = 8
+# the banded Spark plan has FULL recall for hamming <= max_hamming
+# (pigeonhole over max_hamming+1 bands), so the twin is plain brute
+# force — if the banding ever lost a pair the VALUES gate would catch it
+SIMHASH_MAX_HAMMING = 6
 HTML_LIFT_PAGES = 500
 CC_PAGES = 400
 LINK_PAGES = 300
@@ -63,6 +65,7 @@ def minhash_lsh_twin(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]
         spark_xxhash64_str,
         xxh64_bytes,
         xxh64_int,
+        xxh64_long,
         _to_signed,
     )
     from cyclegraph_spark.operators.dedup import reference_shingles
@@ -70,9 +73,12 @@ def minhash_lsh_twin(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]
     sig_cache: dict[str, list[int]] = {}
 
     def shingle_sig(sh: str) -> list[int]:
+        # twin of the hash-once chain: _h = xxhash64(sh); per-seed value
+        # = xxhash64(_h, i) = hashInt(i, carry=hashLong(_h, 42))
         got = sig_cache.get(sh)
         if got is None:
-            seed = xxh64_bytes(sh.encode("utf-8"), 42)
+            h = _to_signed(xxh64_bytes(sh.encode("utf-8"), 42))
+            seed = xxh64_long(h, 42)
             got = [_to_signed(xxh64_int(i, seed)) for i in range(MINHASH_K)]
             sig_cache[sh] = got
         return got
@@ -136,18 +142,13 @@ def simhash_twin(docs: list[tuple[int, str]]) -> list[tuple[int, int, int]]:
                 sig |= 1 << b
         sigs[doc_id] = sig
 
-    blocks: dict[int, list[int]] = {}
-    for doc_id, sig in sigs.items():
-        blocks.setdefault(sig >> (63 - SIMHASH_PREFIX_BITS), []).append(doc_id)
-
     out = []
-    for ids in blocks.values():
-        ids = sorted(ids)
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
-                if ham <= SIMHASH_MAX_HAMMING:
-                    out.append((ids[i], ids[j], ham))
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
+            if ham <= SIMHASH_MAX_HAMMING:
+                out.append((ids[i], ids[j], ham))
     return sorted(out)
 
 
@@ -291,7 +292,7 @@ def main() -> None:
     oracles["dedup_simhash"] = values_sql(
         simhash_twin(docs),
         [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
-        "twin: pure-Python XXH64 SimHash(63-bit) + 8-bit prefix blocking over sf0.01 documents",
+        "twin: pure-Python XXH64 SimHash(63-bit), brute-force hamming<=6 over sf0.01 documents (Spark side: 7-band pigeonhole blocking, full recall)",
     )
     print(f"simhash twin done {time.time() - t0:.1f}s", flush=True)
 
