@@ -50,4 +50,9 @@ def canonical_url(url: Column) -> Column:
     query = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), auth, path, query)
+    # non-absolute inputs (relative paths, mailto:, bare hosts) extract
+    # an empty scheme — pass them through unchanged rather than collapse
+    # every malformed page into the garbage key ':///' (ADVICE r2)
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), auth, path, query)
+    )

@@ -164,6 +164,7 @@ def connected_components(
         stats["rounds"] = 0
         stats["edge_counts"] = []
     prev_fp = None
+    converged = False
     for _ in range(max_iter):
         e = _small_star(
             _large_star(e, hot_degree, split_hot), hot_degree, split_hot
@@ -177,8 +178,23 @@ def connected_components(
             stats["rounds"] += 1
             stats["edge_counts"].append(fp[0])
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if stats is not None:
+        stats["converged"] = converged
+    if not converged:
+        # labels derived from a mid-contraction edge set need not be the
+        # component minima — never fail silently (ADVICE r2)
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} without an edge-"
+            "fingerprint fixpoint; labels may be mid-contraction values — "
+            "raise max_iter or inspect stats['edge_counts']",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # at fixpoint e is a forest of stars (child u → component-min v);
     # vertices absent from e (isolated / self-loop-only) label themselves

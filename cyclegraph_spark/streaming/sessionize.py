@@ -26,6 +26,14 @@ Two implementations with identical closed-session output:
 State size is O(active users), not O(events) — the operator holds one
 16-byte-ish tuple per user, so 10^9 users fit a modest cluster's state
 store; the per-batch work is one shuffle on user_id.
+
+Out-of-order caveat: the stream folds with running MIN(start)/MAX(end),
+so a late above-watermark event that belongs INSIDE the open session
+(within ``gap`` of the running max) merges correctly across
+micro-batches. A late event older than the open session's start by more
+than ``gap`` cannot retroactively split an already-open session the way
+a batch recompute would — that is the inherent watermark trade-off;
+choose ``watermark`` ≥ the tolerated disorder.
 """
 
 from __future__ import annotations
@@ -143,7 +151,18 @@ def sessionize_stream(
                     emit(*cur)
                     cur = (t, t, 1, float(v))
                 else:
-                    cur = (cur[0], t, cur[2] + 1, cur[3] + float(v))
+                    # running MIN/MAX, not first/latest: a late
+                    # (out-of-order, above-watermark) event from a later
+                    # micro-batch must extend the open session's bounds
+                    # without regressing last-seen below the true max —
+                    # otherwise the gap test against a stale last_us
+                    # mis-splits a following near-boundary event
+                    cur = (
+                        min(cur[0], t),
+                        max(cur[1], t),
+                        cur[2] + 1,
+                        cur[3] + float(v),
+                    )
             state.update(cur)
             # flush when the event-time watermark passes last_seen + gap
             state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)  # ms

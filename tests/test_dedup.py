@@ -267,6 +267,10 @@ def test_canonical_url_rules(spark):
         ("http://ex.com/p?utm_source=x&utm_campaign=y", "http://ex.com/p"),
         ("http://ex.com/p?", "http://ex.com/p"),
         ("http://ex.com:443/p", "http://ex.com:443/p"),  # 443 on http kept
+        # non-absolute inputs pass through unchanged (no ':///' collapse)
+        ("mailto:someone@ex.com", "mailto:someone@ex.com"),
+        ("/relative/path?a=1", "/relative/path?a=1"),
+        ("bare-host.example", "bare-host.example"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]

@@ -98,6 +98,33 @@ def test_cc_parity_chain_and_stars(spark):
     assert got == exp
 
 
+def test_cc_nonconvergence_is_loud(spark):
+    """Exhausting max_iter without an edge-fingerprint fixpoint must
+    surface (warning + stats flag), never silently label from a
+    mid-contraction edge set (ADVICE r2)."""
+    import warnings
+
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(64)]
+    df = spark.createDataFrame(edges, EDGE_SCHEMA)
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(df, max_iter=1, stats=stats).collect()
+    assert stats["converged"] is False
+    assert any("fixpoint" in str(w.message) for w in caught)
+    # and the healthy path reports converged=True with no warning
+    stats2: dict = {}
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        got = {
+            (r.id, r.component)
+            for r in connected_components(df, stats=stats2).collect()
+        }
+    assert stats2["converged"] is True
+    assert not [w for w in caught2 if "fixpoint" in str(w.message)]
+    assert got == set(reference_components(edges).items())
+
+
 def test_cc_long_chain_converges_logarithmically(spark):
     """Pointer doubling: a 300-link path must converge well under the
     chain length (O(log n) rounds; max_iter=15 would fail without it)."""

@@ -24,14 +24,14 @@ def _phase1(spark):
     )
 
 
-def _run_stream(spark, tmp_path, phases):
+def _run_stream(spark, tmp_path, phases, watermark="1 minute"):
     """Feed parquet phases through the stream; return collected rows."""
     src = str(tmp_path / "stream_src")
     sink = "sessions_out_" + tmp_path.name
     phases[0].write.parquet(src)
     stream = spark.readStream.schema(phases[0].schema).parquet(src)
     q = (
-        sessionize_stream(stream, gap_s=GAP_S, watermark="1 minute")
+        sessionize_stream(stream, gap_s=GAP_S, watermark=watermark)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(sink)
@@ -70,6 +70,37 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         f"missing={sorted(exp - got)[:3]} extra={sorted(got - exp)[:3]}"
     )
     assert len(exp) > len(users), "gap too wide — one session per user is no evidence"
+
+
+def test_sessionize_late_event_merges_into_open_session(spark, tmp_path):
+    """A late above-watermark event arriving in a LATER micro-batch must
+    extend the open session with running min/max bounds — the old
+    first/latest fold regressed last-seen below the true max and emitted
+    a session with end < start (ADVICE r2)."""
+    t0 = dt.datetime(2030, 1, 1, 12, 0, 0)
+    p1 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 5.0),
+         (1, t0 + dt.timedelta(minutes=20), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    # late by 20 min but above the 30-min watermark → must reach state
+    p2 = spark.createDataFrame(
+        [(1, t0, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    p3 = spark.createDataFrame(  # far-future closer
+        [(1, dt.datetime(2031, 1, 1), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = [
+        r
+        for r in _run_stream(spark, tmp_path, [p1, p2, p3], watermark="30 minutes")
+        if r.session_start < dt.datetime(2030, 6, 1)
+    ]
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.session_start == t0
+    assert s.session_end == t0 + dt.timedelta(minutes=20)
+    assert s.n_events == 3 and abs(s.total_value - 13.0) < 1e-9
 
 
 def test_sessionize_idle_timeout_flush(spark, tmp_path):
