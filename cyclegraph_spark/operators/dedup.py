@@ -197,10 +197,15 @@ def dedup_clusters(
     """
     from cyclegraph_spark.operators.cc import connected_components
 
+    # materialize the pair graph ONCE: connected_components issues
+    # multiple actions (vertex set, edge checkpoint, per-round
+    # fingerprints) and each would otherwise re-execute the entire
+    # shingle→posting→pair plan (measured at sf0.1, warm session:
+    # 9.4 s → 7.4 s)
     pairs = ngram_jaccard_pairs(
         df, id_col=id_col, text_col=text_col,
         threshold=threshold, max_doc_freq=max_doc_freq,
-    )
+    ).localCheckpoint(eager=True)
     labels = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
