@@ -250,6 +250,59 @@ def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(pages, alias_df(spark, 1000)).orderBy("url", "pos")
 
 
+@query("kg_resume_parity", oracle=VALUES_ORACLES["kg_resume_parity"])
+def kg_resume_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 resume correctness under the driver gate: phase 1 runs the
+    factory over only the source buckets < 4 of 240 seeded pages (its CC
+    sees a sameAs SUBGRAPH, so component minima can be locally wrong);
+    phase 2 resumes over the full corpus — manifest-pruning completed
+    buckets, merging prior labels into CC, remapping stale store rows
+    (plans/pipeline.py). Returns the RESUMED store's distinct canonical
+    triple count + order-independent xor fingerprint; the VALUES oracle
+    is the pure-Python twin of a FRESH full run, so any resume/fresh
+    divergence is a hash mismatch. Reference analog: idempotent
+    atomic-write + history resume (server/routes/sessions.py:85-96,
+    cli/strava_import.py:289-313)."""
+    import shutil
+    import tempfile
+
+    from cyclegraph_spark.plans.pipeline import run_pipeline
+    from cyclegraph_spark.sources.pages import pages_df, resume_chain_records
+
+    n_pages, buckets = 240, 8
+    out = tempfile.mkdtemp(prefix="kg_resume_parity_")
+    try:
+        # the seeded corpus's sameAs components are stars whose minimum
+        # is visible from any bucket subset; the crafted chain pages make
+        # phase 1 commit a locally-wrong canonical id that phase 2 MUST
+        # remap — the gate covers the remap path, not just the pruning
+        crafted = spark.createDataFrame(
+            resume_chain_records(buckets),
+            "url string, warc_ts long, html binary, lang string",
+        ).withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
+        pages = pages_df(spark, n_pages, partitions=8).unionByName(crafted)
+        part = F.pmod(F.xxhash64(F.col("url")), F.lit(buckets)).cast("int")
+        subset = (
+            pages.withColumn("_p", part)
+            .filter(F.col("_p") < buckets // 2)
+            .drop("_p")
+        )
+        run_pipeline(spark, subset, out, run_id="phase1", n_buckets=buckets)
+        run_pipeline(spark, pages, out, run_id="phase2", n_buckets=buckets)
+        store = (
+            spark.read.parquet(out + "/data")
+            .select("subj", "pred", "obj", "obj_dtype")
+            .distinct()
+        )
+        # materialize (eager) before the temp store is removed
+        return store.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(F.xxhash64("subj", "pred", "obj", "obj_dtype")).alias("fp"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 @query("kg_cc_components", oracle=VALUES_ORACLES["kg_cc_components"])
 def kg_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cyclegraph_spark.operators.cc import connected_components

@@ -181,6 +181,47 @@ def page_record(i: int, n_entities: int = 1000, seed: int = 42) -> tuple[str, in
     return url, ts, html.encode("utf-8"), lang
 
 
+def resume_chain_records(n_buckets: int = 8) -> list[tuple[str, int, bytes, str]]:
+    """Two crafted pages whose JSON-LD sameAs edges form a CHAIN across
+    the resume bucket split: a run over source buckets < n_buckets/2
+    sees only b—c (local component min b); the full corpus adds a—b
+    (global min a), forcing a resumed run to REMAP rows already written
+    by the partial run. Pure function of n_buckets — shared by the
+    kg_resume_parity gate and its fresh-run twin
+    (tools/gen_value_oracles.py)."""
+    from cyclegraph_spark.functions.xxh64 import spark_xxhash64_str
+
+    def bucket(u: str) -> int:
+        # twin of pmod(xxhash64(url), n_buckets): for power-of-two n the
+        # low bits of the signed and unsigned value agree
+        return spark_xxhash64_str(u) % n_buckets
+
+    u_sub = next(
+        f"https://z.example/sub/{i}"
+        for i in range(1000)
+        if bucket(f"https://z.example/sub/{i}") < n_buckets // 2
+    )
+    u_rest = next(
+        f"https://z.example/rest/{i}"
+        for i in range(1000)
+        if bucket(f"https://z.example/rest/{i}") >= n_buckets // 2
+    )
+
+    def mk(url: str, subj: str, same: str) -> tuple[str, int, bytes, str]:
+        doc = {"@id": subj, "@type": "Thing", "sameAs": same}
+        html = (
+            '<html><head><script type="application/ld+json">'
+            + json.dumps(doc, sort_keys=True)
+            + "</script></head><body>x</body></html>"
+        ).encode("utf-8")
+        return (url, BASE_EPOCH, html, "en")
+
+    return [
+        mk(u_sub, "https://z.example/ent/b", "https://z.example/ent/c"),
+        mk(u_rest, "https://a.example/ent/a", "https://z.example/ent/b"),
+    ]
+
+
 def _gen_batches(iterator, n_entities: int, seed: int):
     for pdf in iterator:
         recs = [page_record(int(i), n_entities, seed) for i in pdf["id"]]

@@ -45,6 +45,7 @@ HTML_LIFT_PAGES = 500
 CC_PAGES = 400
 LINK_PAGES = 300
 LINK_ENTITIES = 1000
+RESUME_PAGES = 240
 
 
 def load_documents() -> list[tuple[int, str]]:
@@ -223,6 +224,42 @@ def cc_components_twin() -> list[tuple[str, int]]:
     return sorted(((c, n) for c, n in sizes.items()), key=lambda t: (-t[1], t[0]))
 
 
+def resume_parity_twin() -> list[tuple[int, int]]:
+    """FRESH-run twin of the factory's canonical store over RESUME_PAGES
+    seeded pages: lift → union-find CC over sameAs → canonical rewrite
+    (subj and obj through component labels, O3 dedup) → one
+    (row count, order-independent xor fingerprint) row. The gate runs
+    the 2-phase RESUMED pipeline on the Spark side, so resume != fresh
+    is a hash mismatch."""
+    from cyclegraph_spark.functions.xxh64 import _to_signed, xxh64_bytes
+    from cyclegraph_spark.operators.cc import reference_components
+    from cyclegraph_spark.operators.triples import OWL_SAMEAS
+    from cyclegraph_spark.sources.pages import page_record, resume_chain_records
+
+    triples: list[tuple[str, str, str, str]] = []
+    for i in range(RESUME_PAGES):
+        url, _, html, _ = page_record(i)
+        triples.extend(_lift_page_rows(url, html))
+    for url, _, html, _ in resume_chain_records(8):
+        triples.extend(_lift_page_rows(url, html))
+    edges = [(s, o) for s, _p, o, _d in triples if _p == OWL_SAMEAS]
+    labels = reference_components(edges)
+    canon = {
+        (labels.get(s, s), p, labels.get(o, o), d) for s, p, o, d in triples
+    }
+
+    def row_hash(cols: tuple[str, ...]) -> int:
+        carry = 42  # Spark xxhash64 chain: carry = hash(child, carry)
+        for c in cols:
+            carry = xxh64_bytes(c.encode("utf-8"), carry)
+        return carry
+
+    acc = 0
+    for row in canon:
+        acc ^= row_hash(row)
+    return [(len(canon), _to_signed(acc))]
+
+
 def entity_links_twin() -> list[tuple[str, int, str, str, float]]:
     from cyclegraph_spark.extract.text import extract_text
     from cyclegraph_spark.operators.linking import reference_link
@@ -305,6 +342,11 @@ def main() -> None:
         cc_components_twin(),
         [("component", "VARCHAR"), ("size", "BIGINT")],
         f"twin: union-find over sameAs edges of {CC_PAGES} seeded pages",
+    )
+    oracles["kg_resume_parity"] = values_sql(
+        resume_parity_twin(),
+        [("n_rows", "BIGINT"), ("fp", "BIGINT")],
+        f"twin: fresh-run lift + union-find CC + canonical rewrite over {RESUME_PAGES} seeded pages",
     )
     oracles["kg_entity_links"] = values_sql(
         entity_links_twin(),
