@@ -55,40 +55,7 @@ def test_committed_oracles_are_fresh():
     gen = _gen_module()
     from cyclegraph_spark.operators.oracles_values import VALUES_ORACLES
 
-    docs = gen.load_documents()
-    fresh = {
-        "dedup_minhash_lsh": gen.values_sql(
-            gen.minhash_lsh_twin(docs),
-            [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
-            "twin: pure-Python XXH64 MinHash(64) + 16x4 banding over sf0.01 documents",
-        ),
-        "dedup_simhash": gen.values_sql(
-            gen.simhash_twin(docs),
-            [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
-            "twin: pure-Python XXH64 SimHash(63-bit) + 8-bit prefix blocking over sf0.01 documents",
-        ),
-        "kg_html_lift": gen.values_sql(
-            gen.html_lift_twin(),
-            [("pred", "VARCHAR"), ("obj_dtype", "VARCHAR"), ("n", "BIGINT")],
-            f"twin: parse_islands + reference coercion over {gen.HTML_LIFT_PAGES} seeded pages",
-        ),
-        "kg_cc_components": gen.values_sql(
-            gen.cc_components_twin(),
-            [("component", "VARCHAR"), ("size", "BIGINT")],
-            f"twin: union-find over sameAs edges of {gen.CC_PAGES} seeded pages",
-        ),
-        "kg_entity_links": gen.values_sql(
-            gen.entity_links_twin(),
-            [
-                ("url", "VARCHAR"),
-                ("pos", "INTEGER"),
-                ("alias", "VARCHAR"),
-                ("entity_id", "VARCHAR"),
-                ("score", "DOUBLE"),
-            ],
-            f"twin: reference_link over extract_text of {gen.LINK_PAGES} seeded pages",
-        ),
-    }
+    fresh = gen.build_oracles(gen.load_documents())
     assert set(fresh) == set(VALUES_ORACLES)
     for name, sql in fresh.items():
         assert VALUES_ORACLES[name] == sql, f"{name}: stale — re-run tools/gen_value_oracles.py"

@@ -314,25 +314,21 @@ VALUES_ORACLES: dict[str, str] = {
 '''
 
 
-def main() -> None:
-    t0 = time.time()
-    docs = load_documents()
+def build_oracles(docs: list[tuple[int, str]]) -> dict[str, str]:
+    """Every VALUES oracle, regenerated from the twins. Shared by main()
+    and tests/test_value_oracles.py's freshness check — one source of
+    truth for the oracle set and its parameters."""
     oracles: dict[str, str] = {}
-
     oracles["dedup_minhash_lsh"] = values_sql(
         minhash_lsh_twin(docs),
         [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
-        "twin: pure-Python XXH64 MinHash(64) + 16x4 banding over sf0.01 documents",
+        "twin: pure-Python XXH64 MinHash(64, hash-once chain) + 16x4 banding over sf0.01 documents",
     )
-    print(f"minhash twin done {time.time() - t0:.1f}s", flush=True)
-
     oracles["dedup_simhash"] = values_sql(
         simhash_twin(docs),
         [("doc_a", "BIGINT"), ("doc_b", "BIGINT"), ("hamming", "INTEGER")],
         "twin: pure-Python XXH64 SimHash(63-bit), brute-force hamming<=6 over sf0.01 documents (Spark side: 7-band pigeonhole blocking, full recall)",
     )
-    print(f"simhash twin done {time.time() - t0:.1f}s", flush=True)
-
     oracles["kg_html_lift"] = values_sql(
         html_lift_twin(),
         [("pred", "VARCHAR"), ("obj_dtype", "VARCHAR"), ("n", "BIGINT")],
@@ -359,6 +355,13 @@ def main() -> None:
         ],
         f"twin: reference_link over extract_text of {LINK_PAGES} seeded pages",
     )
+    return oracles
+
+
+def main() -> None:
+    t0 = time.time()
+    docs = load_documents()
+    oracles = build_oracles(docs)
     print(f"all twins done {time.time() - t0:.1f}s", flush=True)
 
     with open(OUT, "w", encoding="utf-8") as f:

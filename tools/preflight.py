@@ -45,6 +45,11 @@ def norm(v):
     return v
 
 
+def _sort_key(row: tuple):
+    """None-safe, mixed-type-safe total order for row multiset compare."""
+    return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf = "/root/testdata/sf0.01"
@@ -92,7 +97,8 @@ def main() -> int:
             sdf = qs[name](spark, sf)
             cols = sorted(sdf.columns)
             srows = sorted(
-                tuple(norm(r[c]) for c in cols) for r in sdf.collect()
+                (tuple(norm(r[c]) for c in cols) for r in sdf.collect()),
+                key=_sort_key,
             )
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(srows)} rows")
@@ -101,7 +107,8 @@ def main() -> int:
             ocols = [d[0] for d in cur.description]
             idx = [ocols.index(c) for c in sorted(ocols)]
             orows = sorted(
-                tuple(norm(r[i]) for i in idx) for r in cur.fetchall()
+                (tuple(norm(r[i]) for i in idx) for r in cur.fetchall()),
+                key=_sort_key,
             )
             schema_ok = sorted(ocols) == cols
             ok = schema_ok and srows == orows
