@@ -84,6 +84,29 @@ def _doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("sh") != "")
 
 
+def _capped_posting_lists(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """(sh, docs) posting lists for shingles in ≤ max_doc_freq docs.
+
+    COUNT-FIRST discipline: the df cap must be applied with a map-side-
+    combinable count aggregate, not by filtering collect_set output — a
+    boilerplate shingle ("all rights reserved") can sit in ~10^8 docs at
+    corpus scale, and a collect_set that materializes the full posting
+    set before the filter OOMs one reducer on exactly the keys the cap
+    exists to kill. Count (bounded state) → filter → join survivors →
+    collect_set (provably ≤ max_doc_freq elements per group). Plan shape
+    locked by tests/test_dedup.py::test_ngram_cap_counts_before_collect_set.
+    """
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("sh")
+    )
+    return sh.join(rare, "sh").groupBy("sh").agg(
+        F.collect_set("doc").alias("docs")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -111,22 +134,17 @@ def ngram_jaccard_pairs(
     """
     sh = _doc_shingles(df, id_col, text_col).distinct()
     if max_doc_freq is not None:
-        # COUNT-FIRST discipline: the df cap must be applied with a
-        # map-side-combinable count aggregate, not by filtering
-        # collect_set output — a boilerplate shingle ("all rights
-        # reserved") can sit in ~10^8 docs at corpus scale, and a
-        # collect_set that materializes the full posting set before the
-        # filter OOMs one reducer on exactly the keys the cap exists to
-        # kill. Count (bounded state) → filter → join survivors →
-        # collect_set (now provably ≤ max_doc_freq elements per group).
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
-        )
-        buckets = sh.join(rare, "sh").groupBy("sh").agg(
-            F.collect_set("doc").alias("docs")
+        # materialize the capped posting lists ONCE: three consumers
+        # (inter, sz_a, sz_b) otherwise each re-derive the full
+        # scan→explode→cap chain — the executed plan showed 6 parquet
+        # scans and zero exchange reuse (AQE cannot reuse across the
+        # differing downstream subtrees). The checkpointed relation is
+        # the CAPPED inverted index: ≤ max_doc_freq ids per surviving
+        # shingle — exactly what a production pipeline would persist.
+        # (Measured at sf0.1, idle host: pairs 7.3 → 3.9-4.5 s,
+        # dedup_clusters 7.4 → 4.9 s.)
+        buckets = _capped_posting_lists(sh, max_doc_freq).localCheckpoint(
+            eager=True
         )
         posting = buckets.select(F.explode("docs").alias("doc"))
         sizes = posting.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -104,10 +104,18 @@ def test_ngram_cap_counts_before_collect_set(spark, docs):
     """Scale audit: the df cap must be applied by a count aggregate (a
     child of the collect_set agg), never by filtering collect_set output
     — an unbounded posting set on a boilerplate shingle OOMs a reducer.
-    In the optimized plan tree children print BELOW parents, so the
+    Audited on the pre-checkpoint posting-list plan (the operator
+    eagerly checkpoints it, which truncates the visible lineage). In
+    the optimized plan tree children print BELOW parents, so the
     count-filter text must appear after 'collect_set'."""
-    plan = ngram_jaccard_pairs(
-        docs, threshold=0.12, max_doc_freq=16
+    from cyclegraph_spark.operators.dedup import (
+        _capped_posting_lists,
+        _doc_shingles,
+    )
+
+    sh = _doc_shingles(docs, "doc_id", "text").distinct()
+    plan = _capped_posting_lists(
+        sh, 16
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_set" in plan
     filters = [ln for ln in plan.splitlines() if "<= 16" in ln and "Filter" in ln]
