@@ -323,18 +323,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     h = F.xxhash64(F.col("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # vote_b > 0 ⇔ 2·ones_b > n_tokens (ones_b = count of set bits b):
+    # a plain masked-bit SUM per position instead of a conditional ±1 —
+    # same signature bit-for-bit (ties included), fewer expressions in
+    # the hot 63-column aggregate
+    ones = [
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"o{b}")
         for b in range(63)
     ]
-    agg = toks.groupBy("doc").agg(*votes)
+    agg = toks.groupBy("doc").agg(*ones, F.count(F.lit(1)).alias("_n"))
     sig = None
     for b in range(63):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"o{b}") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseXOR(term)
     return agg.select("doc", sig.alias("simhash"))
