@@ -132,7 +132,10 @@ def ngram_jaccard_pairs(
     exact all-pairs baseline (an unbounded posting list would make the
     in-row explode a single-task hot spot — worse than the join).
     """
-    sh = _doc_shingles(df, id_col, text_col).distinct()
+    # _doc_shingles explodes array_distinct output, so (doc, sh) rows
+    # are ALREADY unique — a .distinct() here would re-shuffle the
+    # largest relation in the plan for nothing
+    sh = _doc_shingles(df, id_col, text_col)
     if max_doc_freq is not None:
         # materialize the capped posting lists ONCE: three consumers
         # (inter, sz_a, sz_b) otherwise each re-derive the full
@@ -441,14 +444,12 @@ def split_contamination(
     toked = base.select(
         "doc", "_tr", F.split(F.trim(F.col("_t")), r"\s+").alias("_toks")
     )
-    sh = (
-        toked.select(
-            "doc", "_tr",
-            F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh"),
-        )
-        .filter(F.col("sh") != "")
-        .distinct()
-    )
+    # shingles_from_tokens is array_distinct per doc, so (doc, sh) is
+    # already unique — no distinct shuffle needed
+    sh = toked.select(
+        "doc", "_tr",
+        F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("sh"),
+    ).filter(F.col("sh") != "")
     train_sh = sh.filter(F.col("_tr")).select("sh").distinct()
     eval_sh = sh.filter(~F.col("_tr"))
     hits = eval_sh.join(train_sh.withColumn("_hit", F.lit(1)), "sh", "left")
