@@ -63,7 +63,6 @@ def load_documents() -> list[tuple[int, str]]:
 
 def minhash_lsh_twin(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]]:
     from cyclegraph_spark.functions.xxh64 import (
-        spark_xxhash64_str,
         xxh64_bytes,
         xxh64_int,
         xxh64_long,
@@ -92,12 +91,18 @@ def minhash_lsh_twin(docs: list[tuple[int, str]]) -> list[tuple[int, int, float]
         sig = [min(shingle_sig(sh)[i] for sh in shs) for i in range(MINHASH_K)]
         sigs[doc_id] = sig
 
+    def band_hash(vals: list[int]) -> int:
+        # twin of F.xxhash64(array<bigint>): fold carry = hashLong(elem, carry)
+        carry = 42
+        for v in vals:
+            carry = xxh64_long(v, carry)
+        return _to_signed(carry)
+
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, sig in sigs.items():
         for b in range(MINHASH_BANDS):
             vals = sig[b * MINHASH_ROWS : (b + 1) * MINHASH_ROWS]
-            bh = spark_xxhash64_str(",".join(str(v) for v in vals))
-            buckets.setdefault((b, bh), []).append(doc_id)
+            buckets.setdefault((b, band_hash(vals)), []).append(doc_id)
 
     cands: set[tuple[int, int]] = set()
     for ids in buckets.values():
