@@ -70,6 +70,16 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert not missed, f"LSH missed high-similarity pairs: {missed}"
 
 
+def test_minhash_signatures_parallelism_invariant(spark, docs):
+    s1 = {r.doc: tuple(r.sig) for r in minhash_signatures(docs, k=64).collect()}
+    s2 = {
+        r.doc: tuple(r.sig)
+        for r in minhash_signatures(docs.repartition(16), k=64).collect()
+    }
+    assert s1 == s2
+    assert all(len(v) == 64 for v in s1.values())
+
+
 def test_simhash_deterministic_and_near_pairs(spark, docs):
     s1 = {r.doc: r.simhash for r in simhash(docs).collect()}
     s2 = {r.doc: r.simhash for r in simhash(docs.repartition(16)).collect()}
