@@ -163,17 +163,31 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = 0
         stats["edge_counts"] = []
-    prev_fp = None
+
+    def _fingerprint(d: DataFrame) -> tuple:
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    # Seed the fixpoint test with the fingerprint of the input in the
+    # round-output's canonical orientation (larger endpoint first — the
+    # exact representation _small_star emits at fixpoint). An input that
+    # is ALREADY a forest of min-rooted stars (the common shape for
+    # sameAs corpora and dedup pair graphs) then exits after ONE
+    # confirming round instead of two; any other input simply fails the
+    # first comparison and the loop proceeds unchanged.
+    prev_fp = _fingerprint(
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
     converged = False
     for _ in range(max_iter):
         e = _small_star(
             _large_star(e, hot_degree, split_hot), hot_degree, split_hot
         ).localCheckpoint(eager=True)  # truncate lineage every round
-        fp = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).first()
-        fp = (fp["n"], fp["h"])
+        fp = _fingerprint(e)
         if stats is not None:
             stats["rounds"] += 1
             stats["edge_counts"].append(fp[0])
