@@ -266,6 +266,11 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b, est_jaccard >= est_threshold).
     """
+    # the candidate join consumes the signature relation on BOTH sides,
+    # and each side would re-derive the whole explode+64-min aggregation
+    # (no exchange reuse across the differing downstream subtrees); the
+    # relation is tiny — one 64-long array per doc — so materialize once
+    signatures = signatures.localCheckpoint(eager=True)
     # band hash = xxhash64 over the band's signature SLICE (Spark's hash
     # folds array elements through the carry: carry = hashLong(elem,
     # carry) — the twin mirrors the fold); hashing the longs directly
@@ -366,6 +371,9 @@ def simhash_near_pairs(
 
     Output: (doc_a, doc_b, hamming <= max_hamming).
     """
+    # both join sides re-derive the signature aggregation otherwise;
+    # one (doc, long) row per doc — materialize once
+    sigs = sigs.localCheckpoint(eager=True)
     b = bands if bands is not None else max_hamming + 1
     base, rem = divmod(63, b)
     widths = [base + (1 if i < rem else 0) for i in range(b)]
