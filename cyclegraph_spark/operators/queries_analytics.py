@@ -287,6 +287,7 @@ def a12_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "j3_canonical_key_cache",
+    extended=True,
     oracle="""
     WITH sessions AS (
       SELECT user_id,
@@ -437,6 +438,7 @@ def w3_best_20min_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "w4_trend_last3",
+    extended=True,
     oracle="""
     SELECT event_id,
            ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -463,6 +465,7 @@ def w4_trend_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "w5_duration_infer",
+    extended=True,
     oracle="""
     SELECT user_id,
            floor(epoch(MAX(ts)))::BIGINT - floor(epoch(MIN(ts)))::BIGINT + 1 AS duration_s,
@@ -523,6 +526,7 @@ def a2_time_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "a3_tw_mean_moving_only",
+    extended=True,
     oracle="""
     WITH lagged AS (
       SELECT user_id, value, event_type,
@@ -597,6 +601,7 @@ def a7_filtered_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "a12_grouped_pivot_stats",
+    extended=True,
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            ROUND(AVG(o_totalprice), 4) AS mean_price,
@@ -703,6 +708,7 @@ def a16_cgs_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a10_w_per_beat",
+    extended=True,
     oracle="""
     SELECT user_id,
            ROUND(CASE WHEN AVG(CASE WHEN event_type = 'click' THEN value END) > 0
@@ -757,6 +763,7 @@ def o3_dedup_newest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "o8_union_sources",
+    extended=True,
     oracle="""
     WITH unioned AS (
       SELECT doc_id AS id, 'document' AS src_kind, n_chars::DOUBLE AS metric
@@ -814,6 +821,7 @@ def p3_loose_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "p13_efficiency_classify",
+    extended=True,
     oracle="""
     SELECT CASE WHEN value < 1.0 THEN 'Lav effekt'
                 WHEN value > 170 THEN 'Høy puls'
@@ -841,6 +849,7 @@ def p13_efficiency_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "p17_running_integration",
+    extended=True,
     oracle="""
     SELECT user_id, event_id,
            ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -867,6 +876,7 @@ def p17_running_integration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "json_extract_props",
+    extended=True,
     oracle="""
     SELECT event_type,
            ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
@@ -931,6 +941,7 @@ _WX_EP0 = 1704067200  # 2024-01-01T00:00:00Z; grid covers 457 h (19 days),
 
 @query(
     "j2_weather_context",
+    extended=True,
     oracle=f"""
     WITH h AS (
       SELECT {_WX_EP0} + i * 3600 AS t_w,

@@ -271,8 +271,12 @@ def a17_badges_v22(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagged
     ), sess AS (
       SELECT user_id, ts, value,
+             -- ::BIGINT: DuckDB window SUM over integers yields HUGEINT
+             -- (int128); Spark emits BIGINT — the driver hashes typed
+             -- values, so the uncast form diverges on representation
+             -- (same class as a14, queries_analytics.py ::BIGINT fix).
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS sess_id
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS sess_id
       FROM marked
     )
     SELECT user_id, sess_id,

@@ -64,14 +64,18 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-feature extraction (length/punct/stopword counts)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    # long casts: DuckDB len()/length() yield BIGINT while Spark's
+    # length/size/regexp_count yield INT — align representations so the
+    # driver's typed-value hash can never see a width mismatch (the
+    # preflight type-parity audit flags this class).
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
-        F.regexp_count("text", F.lit(r"[.,;:!?]")).alias("n_punct"),
-        F.regexp_count("text", F.lit(r"(?i)\b(the|and|of|to|is)\b")).alias(
-            "n_stopwords"
-        ),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(r"[.,;:!?]")).cast("long").alias("n_punct"),
+        F.regexp_count("text", F.lit(r"(?i)\b(the|and|of|to|is)\b"))
+        .cast("long")
+        .alias("n_stopwords"),
     ).orderBy("doc_id")
 
 
@@ -549,6 +553,7 @@ _BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-
 
 @query(
     "t_token_count_bpe",
+    extended=True,
     oracle=f"""
     SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
@@ -561,10 +566,11 @@ def t_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GPT2-style contraction/letter/digit/punct classes, lookahead-free so
     RE2 and Java agree)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    # long casts: align with DuckDB len() BIGINT (see t_quality_features).
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
-        F.regexp_count("text", F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 

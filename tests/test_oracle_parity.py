@@ -50,8 +50,13 @@ def ddb():
 
 
 def _pairs():
-    q = entry_mod.queries()
-    o = entry_mod.oracle_sql()
+    # driver-visible registry PLUS the extended registry (operators gated
+    # through the composite melt blocks): out-of-window queries must stay
+    # continuously verified, not only when someone runs tools/preflight.py.
+    from cyclegraph_spark.operators.queries import extended_oracles, extended_queries
+
+    q = {**entry_mod.queries(), **extended_queries()}
+    o = {**entry_mod.oracle_sql(), **extended_oracles()}
     return [(name, q[name], o.get(name)) for name in sorted(q)]
 
 

@@ -50,6 +50,64 @@ def _sort_key(row: tuple):
     return tuple((v is None, str(type(v)), str(v)) for v in row)
 
 
+# Canonical families for DuckDB-vs-Spark type parity.  The driver hashes
+# TYPED values, so an oracle column whose representation differs from the
+# Spark column (DuckDB HUGEINT=int128 window SUM vs Spark BIGINT; DECIMAL
+# vs DOUBLE) hash-diverges even when every value matches — the a14 (r1)
+# and w8 (r3) red rows were exactly this class.  norm() above is
+# type-insensitive, which is why value compare alone cannot catch it.
+_DUCK_CANON = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "UTINYINT": "u8", "USMALLINT": "u16",
+    "UINTEGER": "u32", "UBIGINT": "u64",
+    "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str", "BOOLEAN": "bool",
+    "DATE": "date", "BLOB": "binary",
+}
+_SPARK_CANON = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str", "boolean": "bool",
+    "date": "date", "binary": "binary",
+}
+
+
+def _canon_duck(t: str) -> str:
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.endswith("[]"):
+        return "array<" + _canon_duck(t[:-2]) + ">"
+    return _DUCK_CANON.get(t, t.lower())
+
+
+def _canon_spark(t: str) -> str:
+    t = t.lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("array<") and t.endswith(">"):
+        return "array<" + _canon_spark(t[6:-1]) + ">"
+    return _SPARK_CANON.get(t, t)
+
+
+def type_mismatches(spark_dtypes, duck_cols) -> list[str]:
+    """Columns whose canonical DuckDB type differs from Spark's.
+
+    spark_dtypes: df.dtypes list[(name, dtype)];
+    duck_cols: list[(name, duckdb_type_str)] from DESCRIBE.
+    Returns human-readable 'col: spark=X duck=Y' strings.
+    """
+    sd = {n: _canon_spark(t) for n, t in spark_dtypes}
+    out = []
+    for n, t in duck_cols:
+        dc = _canon_duck(t)
+        if n in sd and sd[n] != dc:
+            out.append(f"{n}: spark={sd[n]} duck={dc}")
+    return out
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf = "/root/testdata/sf0.01"
@@ -80,10 +138,17 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from cyclegraph_spark.operators.queries import extended_oracles, extended_queries
+
     qs, oracles = e.queries(), e.oracle_sql()
+    graded = list(qs)
+    # extended registry (composite-gated, out of the driver window) is
+    # still preflighted — appended after the driver-visible entries.
+    qs = {**qs, **extended_queries()}
+    oracles = {**oracles, **extended_oracles()}
     names = args if args else list(qs)
     if window is not None:
-        names = [n for n in names if n in list(qs)[:window]]
+        names = [n for n in names if n in graded[:window]]
 
     con = duckdb.connect()
     for t in TABLES:
@@ -103,6 +168,11 @@ def main() -> int:
             if name not in oracles:
                 print(f"ROWS-ONLY {name}: {len(srows)} rows")
                 continue
+            duck_cols = [
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+            ]
+            tmis = type_mismatches(sdf.dtypes, duck_cols)
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             idx = [ocols.index(c) for c in sorted(ocols)]
@@ -111,13 +181,16 @@ def main() -> int:
                 key=_sort_key,
             )
             schema_ok = sorted(ocols) == cols
-            ok = schema_ok and srows == orows
+            ok = schema_ok and srows == orows and not tmis
             print(
                 f"{'PASS' if ok else 'FAIL'} {name}: spark {len(srows)} "
-                f"oracle {len(orows)} schema_match={schema_ok}"
+                f"oracle {len(orows)} schema_match={schema_ok} "
+                f"type_match={not tmis}"
             )
             if not ok:
                 fails.append(name)
+                if tmis:
+                    print(f"  TYPE mismatch (driver hash would diverge): {tmis}")
                 if not schema_ok:
                     print(f"  cols spark={cols} oracle={sorted(ocols)}")
                 for a, b in zip(srows, orows):
