@@ -138,7 +138,15 @@ def embedding_near_dups(
     if n_planes > 0:
         dim = len(base.first()["v"])
         planes = hyperplanes(dim, n_planes, seed)
-        base = base.withColumn("bucket", lsh_signature(F.col("v"), planes))
+        # materialize the signature relation once: BOTH self-join sides
+        # consume it, and each would otherwise re-derive the n_planes
+        # zip_with/aggregate dot products per row (AQE reuses no
+        # exchanges across the differing downstream subtrees) — the same
+        # checkpoint discipline as minhash_lsh_pairs/simhash_near_pairs
+        # (dedup.py). One (id, vec, long) row per doc — tiny.
+        base = base.withColumn(
+            "bucket", lsh_signature(F.col("v"), planes)
+        ).localCheckpoint(eager=True)
     else:
         base = base.withColumn("bucket", F.lit(0))
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")

@@ -110,6 +110,18 @@ def test_simhash_banding_full_recall(spark, docs):
     assert len(got) > 0, "0-pair parity is no evidence"
 
 
+def test_simhash_banding_rejects_too_few_bands(spark, docs):
+    """bands <= max_hamming breaks the pigeonhole full-recall guarantee —
+    the operator must refuse loudly, not silently lose pairs."""
+    import pytest
+
+    sigs = simhash(docs)
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        simhash_near_pairs(sigs, max_hamming=6, bands=6)
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        simhash_near_pairs(sigs, max_hamming=6, bands=3)
+
+
 def test_ngram_cap_counts_before_collect_set(spark, docs):
     """Scale audit: the df cap must be applied by a count aggregate (a
     child of the collect_set agg), never by filtering collect_set output

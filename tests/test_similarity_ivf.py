@@ -57,6 +57,30 @@ def test_ivf_probe_recall(spark):
     assert n_cand < base.count()
 
 
+def _scan_num_partitions(df) -> int:
+    """numPartitions metric of the (single) parquet scan in df's EXECUTED
+    plan — the count of hive-style partitions actually read. Walks the
+    physical tree through AQE/QueryStage wrappers via py4j; requires an
+    action to have run on df."""
+    def walk(node, out):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            out.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), out)
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan(), out)
+        if "QueryStageExec" in name:
+            walk(node.plan(), out)
+        return out
+
+    scans = walk(df._jdf.queryExecution().executedPlan(), [])
+    assert len(scans) == 1, f"expected one parquet scan, found {len(scans)}"
+    m = scans[0].metrics()
+    return int(m.apply("numPartitions").value())
+
+
 def test_ivf_partitioned_store_prunes_at_probe(spark, tmp_path):
     """The 100-TB claim made concrete: materialize the assigned table
     partitionBy(cell); a probe's cell filter must reach the scan as a
@@ -70,19 +94,27 @@ def test_ivf_partitioned_store_prunes_at_probe(spark, tmp_path):
     stored = spark.read.parquet(store)
     nprobe = 2
     got = ivf_topk(stored, centroids, qvec, k=K, nprobe=nprobe)
+    got_rows = [(r.vec_id, round(r.cos_sim, 6)) for r in got.collect()]
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "PartitionFilters" in ln]
     assert any("PartitionFilters" in ln and "cell" in ln for ln in plan.splitlines()), (
         f"probe filter did not reach the scan as a partition filter:\n{scan}"
     )
-    # the filter is pruning, not post-scan: no cell IN (...) residual on
-    # a full read — assert the scan's partition count shrank
+    # the filter is pruning, not post-scan: the EXECUTED scan's own
+    # numPartitions metric must equal nprobe (< the N_CELLS directories
+    # the store holds) — a full read with a residual cell IN (...)
+    # filter would report N_CELLS here
     all_parts = len([d for d in __import__("os").listdir(store) if d.startswith("cell=")])
     assert all_parts == N_CELLS
+    read_parts = _scan_num_partitions(got)
+    assert read_parts == nprobe, (
+        f"scan read {read_parts} partitions; expected the {nprobe} probed "
+        f"cells (store holds {all_parts})"
+    )
 
     exp = [
         (r.vec_id, round(r.cos_sim, 6))
         for r in ivf_topk(assigned, centroids, qvec, k=K, nprobe=nprobe).collect()
     ]
-    assert [(r.vec_id, round(r.cos_sim, 6)) for r in got.collect()] == exp
+    assert got_rows == exp

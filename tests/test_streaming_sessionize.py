@@ -103,6 +103,49 @@ def test_sessionize_late_event_merges_into_open_session(spark, tmp_path):
     assert s.n_events == 3 and abs(s.total_value - 13.0) < 1e-9
 
 
+def test_sessionize_late_event_then_near_boundary_follower(spark, tmp_path):
+    """Cross-batch disorder, the full adversarial shape: a late
+    above-watermark event lands INSIDE the open session in a later
+    micro-batch, then a follower arrives just under the gap from the
+    TRUE last-seen (the session max). A fold that regressed last-seen to
+    the late event's timestamp would measure follower − late > gap and
+    wrongly split the session; the min/max fold must keep all four
+    events in ONE session (regression pin for the r2 fold bug's
+    split-side failure mode, not just the end < start symptom)."""
+    t0 = dt.datetime(2030, 1, 1, 12, 0, 0)
+    p1 = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10), 5.0),
+         (1, t0 + dt.timedelta(minutes=20), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    # late by 20 min, above the 30-min watermark → reaches state
+    p2 = spark.createDataFrame(
+        [(1, t0, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    # follower: gap-1min after the true max (t0+20min) — same session iff
+    # last-seen was NOT regressed by the late event (t0 + gap would split)
+    follower = t0 + dt.timedelta(minutes=20, seconds=GAP_S - 60)
+    p3 = spark.createDataFrame(
+        [(1, follower, 2.0)], "user_id long, ts timestamp, value double"
+    )
+    p4 = spark.createDataFrame(  # far-future closer
+        [(1, dt.datetime(2031, 1, 1), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = [
+        r
+        for r in _run_stream(
+            spark, tmp_path, [p1, p2, p3, p4], watermark="30 minutes"
+        )
+        if r.session_start < dt.datetime(2030, 6, 1)
+    ]
+    assert len(rows) == 1, f"session wrongly split: {rows}"
+    s = rows[0]
+    assert s.session_start == t0
+    assert s.session_end == follower
+    assert s.n_events == 4 and abs(s.total_value - 15.0) < 1e-9
+
+
 def test_sessionize_idle_timeout_flush(spark, tmp_path):
     """A user who never comes back must still get their session emitted
     once the watermark (advanced by OTHER users' events) passes
