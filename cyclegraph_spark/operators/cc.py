@@ -143,22 +143,23 @@ def connected_components(
     count per round) — the observable for the O(log n) claim.
     """
     split_hot = salt > 1
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u").isNotNull() & F.col("v").isNotNull()
+    # materialize the caller's edge lineage exactly ONCE: verts and e
+    # both derive from it, and checkpointing each separately (the old
+    # shape) recomputed the caller's (possibly expensive, un-checkpointed)
+    # upstream plan twice before the first contraction round
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=True)
     )
+    # lazy: one distinct over the checkpointed e0, executed by the final
+    # labels join only (it is not consumed inside the loop)
     verts = (
         e0.select(F.col("u").alias("id"))
         .unionByName(e0.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     e = e0.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
-    # a graph this small cannot produce a join partition worth splitting,
-    # but the hot probes cost two actions (each re-running the minima
-    # agg) per round — skip them; the count is one cheap scan of the
-    # already-checkpointed edges
-    if split_hot and e.count() < 10_000:
-        split_hot = False
 
     if stats is not None:
         stats["rounds"] = 0
@@ -182,6 +183,14 @@ def connected_components(
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
+    # a graph this small cannot produce a join partition worth splitting,
+    # but the hot probes cost two actions (each re-running the minima
+    # agg) per round — skip them. The oriented-distinct count n from the
+    # seed fingerprint bounds the edge count (n ≤ |e| ≤ 2n), which is
+    # plenty for this heuristic threshold and saves a separate count
+    # action over e (fixed per-call overhead at toy scale).
+    if split_hot and prev_fp[0] < 10_000:
+        split_hot = False
     converged = False
     for _ in range(max_iter):
         e = _small_star(

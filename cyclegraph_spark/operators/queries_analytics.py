@@ -457,7 +457,7 @@ def w4_trend_last3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.avg("value").over(w), 4).alias("prev3_avg"),
         F.round("value", 4).alias("cur_value"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -483,7 +483,6 @@ def w5_duration_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("duration_s"),
             F.count(F.lit(1)).alias("n_samples"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -564,7 +563,6 @@ def a3_tw_mean_moving_only(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tw_mean_moving"
             )
         )
-        .orderBy("user_id")
     )
 
 
@@ -623,7 +621,6 @@ def a12_grouped_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("o_orderstatus", "o_orderpriority")
     )
 
 
@@ -726,7 +723,6 @@ def a10_w_per_beat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(F.round(F.when(avg_c > 0, avg_v / avg_c).otherwise(0.0), 4).alias("w_per_beat"))
-        .orderBy("user_id")
     )
 
 
@@ -790,7 +786,6 @@ def o8_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.unionByName(e)
         .groupBy("src_kind")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("metric"), 4).alias("avg_metric"))
-        .orderBy("src_kind")
     )
 
 
@@ -840,7 +835,6 @@ def p13_efficiency_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(status.alias("status"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .orderBy("status")
     )
 
 
@@ -868,7 +862,7 @@ def p17_running_integration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("cum_value")
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -892,7 +886,6 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.get_json_object("props", "$.k").cast("double")), 4
             ).alias("avg_k")
         )
-        .orderBy("event_type")
     )
 
 
@@ -986,14 +979,17 @@ def j2_weather_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % 20 + 5).cast("double").alias("air_temp_c"),
         (F.col("id") % 40 + 990).cast("double").alias("air_pressure_hpa"),
     )
+    # one row per user, consumed by BOTH weather_asof calls (start and
+    # end context) — materialize once or each side re-scans and
+    # re-aggregates the full events table
     sessions = ev.groupBy("user_id").agg(
         F.min(F.unix_timestamp("ts")).alias("t_start"),
         F.max(F.unix_timestamp("ts")).alias("t_end"),
-    )
+    ).localCheckpoint(eager=True)
     ctx_s = weather_asof(
         sessions.select("user_id", F.col("t_start").alias("t")), hours, act="user_id"
     ).select("user_id", *[F.col(c).alias(f"s_{c}") for c in WEATHER_COLS])
     ctx_e = weather_asof(
         sessions.select("user_id", F.col("t_end").alias("t")), hours, act="user_id"
     ).select("user_id", *[F.col(c).alias(f"e_{c}") for c in WEATHER_COLS])
-    return ctx_s.join(ctx_e, "user_id").orderBy("user_id")
+    return ctx_s.join(ctx_e, "user_id")

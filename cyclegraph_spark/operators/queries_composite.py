@@ -22,6 +22,12 @@ Catalyst note: the Spark side melts each probe with ONE
 ``explode(array(struct...))`` pass (not one union arm per metric, which
 would recompute the probe's aggregation per metric), then unions the
 probes.  Probe outputs here are tiny aggregates; the union is trivial.
+The extended probes deliberately return UNORDERED frames: every
+consumer (driver hash, parity test, preflight) sorts rows itself, and a
+trailing per-probe ``orderBy`` would survive under this composite's
+final sort as a redundant global range-exchange per probe (EliminateSorts
+does not fire through the explode/union — verified on the optimized
+plan, which carried 6 extra Sort nodes before the probes were unordered).
 """
 
 from __future__ import annotations

@@ -571,7 +571,7 @@ def t_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
         F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
