@@ -76,8 +76,16 @@ def _int_literal(raw: Column) -> Column:
 
 
 def _float_literal(raw: Column) -> Column:
+    """str(float(x)) with skip-on-error. NaN input ('nan'/'NaN' cells)
+    emits the literal 'nan' — the reference's rdflib mapping is
+    str(float(v)) which keeps NaN as an (ill-typed) float literal; Java's
+    double→string would render 'NaN', so the lexical form is pinned
+    explicitly (property-tested against the twin)."""
     d = raw.try_cast(T.DoubleType())
-    return F.when(d.isNotNull() & ~F.isnan(d), d.cast(T.StringType()))
+    return F.when(
+        d.isNotNull(),
+        F.when(F.isnan(d), F.lit("nan")).otherwise(d.cast(T.StringType())),
+    )
 
 
 def _bool_literal(raw: Column) -> Column:

@@ -177,6 +177,91 @@ def test_canonical_url_idempotent_and_strips_utm(spark, parts, garbage):
             assert r["c1"] == r["url"]  # pass-through branch
 
 
+# Adversarial-but-in-domain value pool for the CSV→RDF mapper: the
+# reference's lexical mapping is Python str(int/float); Spark's
+# double→string cast agrees inside ~1e-3..1e7 magnitude (both engines
+# switch to scientific notation at different thresholds outside it, and
+# the reference's stream values — hr/watts/altitude — live well inside).
+# 'inf' is excluded: the reference's own add_row raises OverflowError.
+_cell = st.sampled_from(
+    [
+        "", " ", "  12  ", "007", "+3", "-12.7", "12.999", ".5", "5.",
+        "1e3", "-1e2", "2.5", "100.0", "0", "1", "true", "TRUE", "False",
+        "yes", "abc", "1,5", "nan", "-0", "3.14159", "99999",
+    ]
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {
+                "activity_id": st.sampled_from(["42", "a1", "9"]),
+                "index": st.sampled_from(["", "0", "17", " 3 "]),
+                "time_s": _cell,
+                "hr": _cell,
+                "watts": _cell,
+                "moving": _cell,
+                "altitude": _cell,
+            }
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_lift_stream_rows_matches_reference_twin(spark, rows):
+    """P1 mapper vs the reference_add_row twin on adversarial cells:
+    signed/zero-padded/exponent numerics, truncation-toward-zero cases,
+    decimal commas, boolean case variants, junk → skip-not-crash."""
+    from cyclegraph_spark.operators.triples import (
+        lift_stream_rows,
+        reference_add_row,
+    )
+
+    cols = ["activity_id", "index", "time_s", "hr", "watts", "moving", "altitude"]
+    df = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows],
+        ", ".join(f"{c} string" for c in cols),
+    )
+    got = {
+        (r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in lift_stream_rows(df).collect()
+    }
+    exp = set()
+    for r in rows:
+        exp |= reference_add_row(r["activity_id"].strip(), r)
+    assert got == exp, (
+        f"only-spark={sorted(got - exp)[:4]} only-twin={sorted(exp - got)[:4]}"
+    )
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Star-contraction CC vs the union-find twin on random graphs —
+    self-loops, duplicates, multi-component, arbitrary label order."""
+    from cyclegraph_spark.operators.cc import (
+        connected_components,
+        reference_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(df).collect()
+    }
+    exp = set(reference_components([(a, b) for a, b in edges]).items())
+    assert got == exp
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
