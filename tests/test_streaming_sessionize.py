@@ -146,6 +146,64 @@ def test_sessionize_late_event_then_near_boundary_follower(spark, tmp_path):
     assert s.n_events == 4 and abs(s.total_value - 15.0) < 1e-9
 
 
+def test_sessionize_stream_matches_batch_random_streams(spark, tmp_path):
+    """Randomized stream/batch parity: seeded random event streams,
+    delivered in timestamp order across a random number of micro-batch
+    phases (so session state spans arbitrary batch boundaries), must
+    close exactly the sessions the batch twin computes. Complements the
+    fixed-shape parity test and the two adversarial late-event pins."""
+    import random
+
+    rng = random.Random(20260817)
+    t0 = dt.datetime(2030, 1, 1)
+    events = []
+    for _ in range(300):
+        events.append(
+            (
+                rng.randrange(4),
+                t0
+                + dt.timedelta(
+                    # clusters 2×gap apart with up-to-2h jitter: occupied
+                    # clusters become distinct sessions (many splits) while
+                    # each holds several events (multi-event sessions)
+                    seconds=rng.randrange(40) * GAP_S * 2
+                    + rng.randrange(7200),
+                    microseconds=rng.randrange(1_000_000),
+                ),
+                float(rng.randrange(-50, 50)),
+            )
+        )
+    events.sort(key=lambda e: e[1])  # in-order delivery: no late drops
+    cuts = sorted(rng.sample(range(1, len(events)), 3))
+    phases = [
+        spark.createDataFrame(
+            events[a:b], "user_id long, ts timestamp, value double"
+        )
+        for a, b in zip([0] + cuts, cuts + [len(events)])
+    ]
+    far = dt.datetime(2031, 1, 1)
+    closer = spark.createDataFrame(
+        [(u, far, 0.0) for u in range(4)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in _run_stream(spark, tmp_path, phases + [closer])
+        if r.session_start < dt.datetime(2030, 6, 1)
+    }
+    all_events = spark.createDataFrame(
+        events, "user_id long, ts timestamp, value double"
+    )
+    exp = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in sessionize_batch(all_events, gap_s=GAP_S).collect()
+    }
+    assert got == exp, (
+        f"missing={sorted(exp - got)[:3]} extra={sorted(got - exp)[:3]}"
+    )
+    assert len(exp) > 8, "degenerate corpus — too few sessions to be evidence"
+
+
 def test_sessionize_idle_timeout_flush(spark, tmp_path):
     """A user who never comes back must still get their session emitted
     once the watermark (advanced by OTHER users' events) passes
