@@ -27,8 +27,8 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 # Extended registry: operators that are NOT exported to the driver's
 # graded window (it grades only the first 50 all_queries() entries) but
-# stay individually verifiable — tools/preflight.py --extended and
-# tests/test_oracle_parity.py run them against their oracles every time.
+# stay individually verifiable — tools/preflight.py appends them to
+# every run and tests/test_oracle_parity.py grades them on every pass.
 # Their driver-visible correctness comes from the composite melt gates in
 # queries_composite.py, which union their normalized outputs.
 _QUERIES_EXT: dict[str, QueryFn] = {}

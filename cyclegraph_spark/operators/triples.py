@@ -70,21 +70,39 @@ def _int_literal(raw: Column) -> Column:
     """int(float(x)) with skip-on-error: NULL when not parseable.
 
     Truncation toward zero matches Python int(float(.)) for doubles.
+    try_cast on the long conversion: under ANSI mode a plain cast of an
+    out-of-range double ('1e20', 'inf') would CRASH the whole lift job
+    with CAST_OVERFLOW instead of skipping the cell. Values beyond
+    ±2^63 are skipped — a declared 64-bit engine bound (the reference's
+    Python int is arbitrary-precision there, and its exact lexical form
+    is NOT reachable via decimal: Spark's double→decimal renders the
+    shortest repr, e.g. 1e25 → 1 and 25 zeros, while Python prints the
+    exact binary value …905969664 — measured). 'inf'/'nan' cells skip;
+    the reference itself raises uncaught OverflowError on int('inf').
     """
     d = raw.try_cast(T.DoubleType())
-    return F.when(d.isNotNull() & ~F.isnan(d), d.cast(T.LongType()).cast(T.StringType()))
+    return F.when(
+        d.isNotNull() & ~F.isnan(d),
+        d.try_cast(T.LongType()).cast(T.StringType()),
+    )
 
 
 def _float_literal(raw: Column) -> Column:
-    """str(float(x)) with skip-on-error. NaN input ('nan'/'NaN' cells)
-    emits the literal 'nan' — the reference's rdflib mapping is
-    str(float(v)) which keeps NaN as an (ill-typed) float literal; Java's
-    double→string would render 'NaN', so the lexical form is pinned
-    explicitly (property-tested against the twin)."""
+    """str(float(x)) with skip-on-error. Non-finite lexical forms are
+    pinned to the reference's Python rendering — 'nan', 'inf', '-inf' —
+    because Spark's own double→string says 'NaN'/'Infinity'/'-Infinity'
+    (Spark's parser accepts 'inf'/'INF'/'Infinity'/'+inf', same set
+    Python float() takes — measured). Finite values use Spark's cast;
+    its scientific-notation threshold differs from Python's outside
+    ~1e-3..1e7 ('1.0E20' vs '1e+20'), documented as out of the stream
+    domain (hr/watts/altitude magnitudes)."""
     d = raw.try_cast(T.DoubleType())
     return F.when(
         d.isNotNull(),
-        F.when(F.isnan(d), F.lit("nan")).otherwise(d.cast(T.StringType())),
+        F.when(F.isnan(d), F.lit("nan"))
+        .when(d == float("inf"), F.lit("inf"))
+        .when(d == float("-inf"), F.lit("-inf"))
+        .otherwise(d.cast(T.StringType())),
     )
 
 

@@ -182,7 +182,16 @@ def test_canonical_url_idempotent_and_strips_utm(spark, parts, garbage):
 # double→string cast agrees inside ~1e-3..1e7 magnitude (both engines
 # switch to scientific notation at different thresholds outside it, and
 # the reference's stream values — hr/watts/altitude — live well inside).
-# 'inf' is excluded: the reference's own add_row raises OverflowError.
+# Exclusions, each a DOCUMENTED engine-policy divergence pinned by
+# test_lift_literal_engine_policy rather than twin parity:
+#   'inf'/'Infinity' — reference int path raises uncaught OverflowError
+#     (a crash); the engine skips the int triple and emits the pinned
+#     'inf' float literal;
+#   |v| > 2^63 ('1e20') — 64-bit engine bound: int rule skips where the
+#     reference emits a Python-bigint literal (exact form unreachable,
+#     see _int_literal);
+#   scientific-notation floats ('1e20' float rule) — lexical-form
+#     threshold differs between Java and Python rendering.
 _cell = st.sampled_from(
     [
         "", " ", "  12  ", "007", "+3", "-12.7", "12.999", ".5", "5.",
@@ -234,6 +243,33 @@ def test_lift_stream_rows_matches_reference_twin(spark, rows):
     assert got == exp, (
         f"only-spark={sorted(got - exp)[:4]} only-twin={sorted(exp - got)[:4]}"
     )
+
+
+def test_lift_literal_engine_policy(spark):
+    """Pins the engine's out-of-domain literal policy (the documented
+    divergences the property pool above excludes): int-rule overflow and
+    infinities SKIP instead of crashing the job (ANSI CAST_OVERFLOW
+    guard), float-rule non-finites use the reference's Python lexical
+    forms ('inf'/'-inf'/'nan'), and in-range big ints still lift."""
+    from cyclegraph_spark.operators.triples import lift_stream_rows
+
+    cols = ["activity_id", "index", "time_s", "hr", "watts", "moving", "altitude"]
+    rows = [
+        ("9", "0", "1e20", "inf", "Infinity", "", "inf"),
+        ("9", "1", "", "", "", "", "-Infinity"),
+        ("9", "2", "9.3e18", "", "", "", ""),  # > 2^63: skip, no crash
+        ("9", "3", "9e18", "", "", "", ""),  # < 2^63: lifts
+    ]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+    by_sample = {}
+    for r in lift_stream_rows(df).collect():
+        if r.pred.endswith("activity"):
+            continue
+        by_sample.setdefault(r.subj.rsplit("/", 1)[-1], []).append((r.obj, r.obj_dtype.rsplit("#")[-1]))
+    assert by_sample.get("0") == [("inf", "float")]  # int overflows skipped
+    assert by_sample.get("1") == [("-inf", "float")]
+    assert "2" not in by_sample  # 9.3e18 > 2^63 → skipped
+    assert by_sample.get("3") == [("9000000000000000000", "integer")]
 
 
 @settings(max_examples=5, deadline=None,
