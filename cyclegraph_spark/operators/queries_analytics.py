@@ -795,8 +795,11 @@ def o8_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p3_loose_numeric_parse",
     oracle="""
+    -- TRY_CAST mirrors the Spark side's try_cast: a props value with no
+    -- digits extracts '' and must SKIP to NULL (loose-parse semantics),
+    -- not abort the scan — CAST('' AS DOUBLE) errors on both engines
     SELECT event_id,
-           CAST(REPLACE(REGEXP_EXTRACT(props, '[-+]?[0-9]+(?:[.,][0-9]+)?', 0), ',', '.')
+           TRY_CAST(REPLACE(REGEXP_EXTRACT(props, '[-+]?[0-9]+(?:[.,][0-9]+)?', 0), ',', '.')
                 AS DOUBLE) AS parsed
     FROM events WHERE props IS NOT NULL ORDER BY event_id
     """,
@@ -805,9 +808,12 @@ def p3_loose_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: first-number extraction with decimal-comma tolerance."""
     ev = load(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     parsed = F.regexp_extract(F.col("props"), r"[-+]?[0-9]+(?:[.,][0-9]+)?", 0)
+    # try_cast: loose-parse semantics (session.py:1271 returns None on no
+    # match) — a digit-less props extracts '' and under ANSI a plain cast
+    # would crash the whole scan with CAST_INVALID_INPUT
     return ev.select(
         "event_id",
-        F.replace(parsed, F.lit(","), F.lit(".")).cast("double").alias("parsed"),
+        F.replace(parsed, F.lit(","), F.lit(".")).try_cast("double").alias("parsed"),
     ).orderBy("event_id")
 
 
@@ -872,8 +878,10 @@ def p17_running_integration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     extended=True,
     oracle="""
+    -- TRY_CAST: a non-numeric $.k value must skip to NULL (dropped by
+    -- AVG) on both engines, not abort the scan
     SELECT event_type,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -883,7 +891,9 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.round(
-                F.avg(F.get_json_object("props", "$.k").cast("double")), 4
+                # try_cast: non-numeric $.k skips (AVG ignores NULL)
+                # instead of an ANSI cast abort
+                F.avg(F.get_json_object("props", "$.k").try_cast("double")), 4
             ).alias("avg_k")
         )
     )

@@ -95,3 +95,33 @@ def test_whole_stage_codegen_covers_metric_block(spark):
     assert "partial_percentile" in plan
     assert plan.index("partial_percentile") > plan.index("Exchange") or True
     assert "Exchange hashpartitioning(_act" in plan
+
+
+def test_loose_parse_skips_unparseable_not_crash(spark):
+    """ANSI-mode robustness: a props value with NO digits (regexp miss →
+    '' cast) and a non-numeric JSON $.k must yield NULL, not abort the
+    scan with CAST_INVALID_INPUT — the loose-parse contract at 100 TB is
+    skip-bad-rows, never crash-the-job."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "no digits here"), (2, "x=12,5 done"), (3, '{"k": "abc"}'),
+         (4, '{"k": "7.5"}')],
+        "event_id long, props string",
+    )
+    parsed = F.regexp_extract(F.col("props"), r"[-+]?[0-9]+(?:[.,][0-9]+)?", 0)
+    got = {
+        r.event_id: r.parsed
+        for r in df.select(
+            "event_id",
+            F.replace(parsed, F.lit(","), F.lit(".")).try_cast("double").alias("parsed"),
+        ).collect()
+    }
+    assert got[1] is None and got[2] == 12.5
+    jk = {
+        r.event_id: r.k
+        for r in df.select(
+            "event_id", F.get_json_object("props", "$.k").try_cast("double").alias("k")
+        ).collect()
+    }
+    assert jk[3] is None and jk[4] == 7.5
