@@ -614,11 +614,16 @@ def a12_grouped_pivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash aggregation (per-version split = partitioned write, not a
     driver loop)."""
     o = load(spark, sf_dir, "orders")
+    # nanvl→NULL: Spark's stddev_samp yields NaN on a single-row group
+    # while DuckDB's STDDEV_SAMP yields NULL — the same representation-
+    # divergence class as the HUGEINT hash bug, latent because current
+    # gate data has no singleton groups; align proactively
+    std = F.stddev_samp("o_totalprice")
     return (
         o.groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
-            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+            F.round(F.when(~F.isnan(std), std), 4).alias("std_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
