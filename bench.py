@@ -327,8 +327,21 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": pipeline_stats,
         "scaling": scaling,
+        # 1/5/15-min load averages at exit: this sandbox shares CPUs with
+        # other tenants whose load spikes read as uniform 2-3× slowdowns
+        # with no local process visible (BENCH/BASELINE.md) — recording
+        # host state in the artifact lets drift be attributed
+        "host_loadavg": _loadavg(),
     }
     print(json.dumps(result))
+
+
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
 
 
 if __name__ == "__main__":
