@@ -18,6 +18,17 @@ Three parts:
    sha256 burner processes occupying EVERY remaining host CPU during
    BOTH phases.
 
+Idle-window gating (round 5): every timed section first waits — bounded
+by a shared $SPARK_GRAFT_LOAD_WAIT budget (default 600 s) — for the
+host's instantaneous EXTERNAL runnable-task count (/proc/loadavg field
+4, which has no decay lag, unlike the 1-min average) to drop below
+$SPARK_GRAFT_LOAD_MAX (default 4). Each timed pass is tagged clean or
+load-tainted (pre+post probes), best-of selection prefers clean passes,
+the headline gets a second attempt if its first window was tainted, and
+the artifact says explicitly when no clean window existed
+("headline_load_tainted", scaling "all_windows_loaded", and the full
+per-phase ledger under "load_gating").
+
 Why 4/16-with-burners instead of 8/32: the host is a 32-vCPU VM whose
 per-core throughput depends on total host load (~13% slower fully loaded
 — the sha256 control below measures this each run). An 8-core phase on
@@ -47,6 +58,15 @@ KG_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "800000"))
 KG_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "512"))
 CORES_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 CORES_4N = 4 * CORES_N
+# Idle-window gating: this sandbox shares its kernel with other tenants
+# whose load spikes read as uniform 2-3× slowdowns with no local process
+# visible (BENCH_r04's graded run landed on host loadavg 32 and halved
+# the headline vs the same code idle). Each timed section waits (bounded
+# by a GLOBAL budget) for the host's external runnable count to fall
+# below LOAD_MAX, and every timed pass is tagged clean/load-tainted so
+# best-of selection can prefer clean evidence.
+LOAD_MAX = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "4"))
+LOAD_WAIT_BUDGET = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
 
 # Burner process: occupies one CPU with hashing so the host runs at the
 # same frequency/steal/load profile during the N phase as during the 4N
@@ -145,6 +165,82 @@ print(json.dumps({{"triples": n, "passes": passes, "sec": best["sec"], "tps": be
 """
 
 
+def _external_running(samples: int = 12, interval: float = 0.08) -> float:
+    """Instantaneous EXTERNAL load estimate: mean over ``samples`` reads
+    of /proc/loadavg's 4th field numerator (currently-runnable tasks,
+    host-wide — this sandbox shares a kernel with other tenants), minus
+    one for this sampling process itself.
+
+    Why not the 1-minute average: our own just-finished phase inflates
+    it for minutes (decay lag), so between interleaved phases it cannot
+    distinguish "tenant arrived" from "we just ran". The running count
+    is instantaneous — valid the moment our subprocesses have exited.
+    Only call while nothing of ours is running.
+    """
+    vals: list[float] = []
+    for _ in range(samples):
+        try:
+            with open("/proc/loadavg") as f:
+                run = int(f.read().split()[3].split("/")[0])
+        except (OSError, ValueError, IndexError):
+            return 0.0  # no /proc: assume idle rather than stall the bench
+        vals.append(max(0, run - 1))
+        time.sleep(interval)
+    return sum(vals) / len(vals)
+
+
+class _LoadGate:
+    """Bounded idle-window waiter + per-phase clean/tainted ledger."""
+
+    def __init__(self) -> None:
+        self.budget = LOAD_WAIT_BUDGET
+        self.events: list[dict] = []
+
+    def wait_clean(self, label: str) -> tuple[float, bool]:
+        """Wait (consuming the shared budget) until external load is
+        below LOAD_MAX; returns (final pre-window estimate, clean)."""
+        t0 = time.time()
+        est = _external_running()
+        while est > LOAD_MAX and self.budget > 0:
+            pause = min(15.0, self.budget)
+            time.sleep(pause)
+            self.budget -= pause
+            est = _external_running()
+        ev = {
+            "phase": label,
+            "pre_load": round(est, 1),
+            "waited_sec": round(time.time() - t0, 1),
+            "clean": est <= LOAD_MAX,
+        }
+        self.events.append(ev)
+        return est, ev["clean"]
+
+    def post_check(self, post_est: float) -> None:
+        """Attach the post-phase external-load reading to the last event
+        (a tenant arriving MID-phase taints it even if the window opened
+        clean)."""
+        if self.events:
+            self.events[-1]["post_load"] = round(post_est, 1)
+            self.events[-1]["clean"] = (
+                self.events[-1]["clean"] and post_est <= LOAD_MAX
+            )
+
+    def summary(self) -> dict:
+        return {
+            "threshold": LOAD_MAX,
+            "wait_budget_sec": LOAD_WAIT_BUDGET,
+            "budget_left_sec": round(self.budget, 1),
+            "events": self.events,
+        }
+
+
+def _best_pass(passes: list[dict]) -> dict:
+    """Best-of that PREFERS clean passes: tainted timings can only
+    understate capability, so they are evidence of last resort."""
+    clean = [p for p in passes if p.get("clean")]
+    return max(clean or passes, key=lambda p: p["tps"])
+
+
 def _start_burners(used_cores: int, seconds: int = 900) -> list[subprocess.Popen]:
     burners = []
     for cpu in range(used_cores, CPUS):
@@ -200,26 +296,37 @@ def _run_control(cores: int, window_s: float = 6.0) -> float:
     return total / window_s
 
 
-def _run_scaling(corpus: str) -> dict:
+def _run_scaling(corpus: str, gate: _LoadGate) -> dict:
     """Interleaved N/4N phases, best-of over all rounds. ALWAYS at least
     3 full rounds (≥ 6 timed passes per level persisted — the host's
     slow minutes span whole phases, so one lucky early round is not
     evidence), with up to 2 extra rounds while the implied efficiency
     is below 0.82 — more samples for BOTH levels, converging on the
     host's true capability rather than cherry-picking one side. All raw
-    passes are persisted."""
+    passes are persisted, tagged clean/load-tainted by the instantaneous
+    external-load probe before AND after each phase; best-of prefers
+    clean passes (_best_pass)."""
     runs: dict[int, list[dict]] = {CORES_N: [], CORES_4N: []}
-    best: dict[int, dict] = {}
+    triples = 0
     eff = 0.0
     for rnd in range(5):
         for cores, passes in ((CORES_N, 2), (CORES_4N, 3)):
+            pre, pre_clean = gate.wait_clean(f"scale_{cores}c_round{rnd}")
             r = _run_scale_once(cores, corpus, passes)
+            post = _external_running()
+            gate.post_check(post)
+            clean = pre_clean and post <= LOAD_MAX
+            for p in r["passes"]:
+                p["clean"] = clean
             runs[cores].extend(r["passes"])
-            if cores not in best or r["tps"] > best[cores]["tps"]:
-                best[cores] = r
-        eff = (best[CORES_4N]["tps"] / best[CORES_N]["tps"]) / 4.0
+            triples = r["triples"]
+        eff = (
+            _best_pass(runs[CORES_4N])["tps"] / _best_pass(runs[CORES_N])["tps"]
+        ) / 4.0
         if rnd >= 2 and eff >= 0.82:
             break
+    best_n = _best_pass(runs[CORES_N])
+    best_4n = _best_pass(runs[CORES_4N])
     ctrl_n = _run_control(CORES_N)
     ctrl_4n = _run_control(CORES_4N)
     ceiling = (ctrl_4n / ctrl_n) / 4.0
@@ -228,12 +335,18 @@ def _run_scaling(corpus: str) -> dict:
         "cores_4n": CORES_4N,
         "pages": KG_PAGES,
         "partitions": KG_PARTS,
-        "triples": best[CORES_4N]["triples"],
-        "tps_n": best[CORES_N]["tps"],
-        "tps_4n": best[CORES_4N]["tps"],
-        "sec_n": best[CORES_N]["sec"],
-        "sec_4n": best[CORES_4N]["sec"],
+        "triples": triples,
+        "tps_n": best_n["tps"],
+        "tps_4n": best_4n["tps"],
+        "sec_n": best_n["sec"],
+        "sec_4n": best_4n["sec"],
         "efficiency": round(eff, 3),
+        # true iff NO idle window existed at a level — the efficiency
+        # above then rests on tainted evidence and says so explicitly
+        "all_windows_loaded": not (
+            any(p["clean"] for p in runs[CORES_N])
+            and any(p["clean"] for p in runs[CORES_4N])
+        ),
         "runs": {str(k): v for k, v in runs.items()},
         "control": {
             "sha256_n": round(ctrl_n, 1),
@@ -257,6 +370,9 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     from cyclegraph_spark.session import get_spark
+
+    gate = _LoadGate()
+    gate.wait_clean("queries")
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     queries = entry_mod.queries()
@@ -284,6 +400,7 @@ def main() -> None:
 
     pipe_out = os.path.join(tempfile.gettempdir(), "cyclegraph_bench_pipeline")
     shutil.rmtree(pipe_out, ignore_errors=True)
+    gate.wait_clean("pipeline")
     t0 = time.time()
     pm = run_pipeline(
         spark,
@@ -308,14 +425,32 @@ def main() -> None:
     _gen_corpus(corpus)
 
     # headline throughput at full width (local[CPUS], host otherwise idle
-    # — same conditions as the per-query timings above)
+    # — same conditions as the per-query timings above). This number IS
+    # the artifact's headline, so it gets up to one extra attempt if a
+    # tenant taints the first window; best clean pass wins.
     code = _SCALE_SNIPPET.format(repo=REPO, cores=CPUS, corpus=corpus, passes=2)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, check=True
-    )
-    full = json.loads(out.stdout.strip().splitlines()[-1])
+    full_passes: list[dict] = []
+    full = None
+    for attempt in range(2):
+        _, pre_clean = gate.wait_clean(f"full_width_attempt{attempt}")
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800, check=True
+        )
+        full = json.loads(out.stdout.strip().splitlines()[-1])
+        post = _external_running()
+        gate.post_check(post)
+        clean = pre_clean and post <= LOAD_MAX
+        for p in full["passes"]:
+            p["clean"] = clean
+        full_passes.extend(full["passes"])
+        if clean:
+            break
+    best_full = _best_pass(full_passes)
+    full["passes"] = full_passes
+    full["sec"], full["tps"] = best_full["sec"], best_full["tps"]
+    full["clean"] = bool(best_full.get("clean"))
 
-    scaling = _run_scaling(corpus)
+    scaling = _run_scaling(corpus, gate)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -327,6 +462,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": pipeline_stats,
         "scaling": scaling,
+        # true iff the headline throughput could not be captured in ANY
+        # idle window within the wait budget — the explicit "all windows
+        # were loaded" marker the artifact's reader should trust over
+        # the (then-understated) value
+        "headline_load_tainted": not full["clean"],
+        # idle-window ledger: every wait point, its pre/post external
+        # load, how long it waited, clean verdict
+        "load_gating": gate.summary(),
         # 1/5/15-min load averages at exit: this sandbox shares CPUs with
         # other tenants whose load spikes read as uniform 2-3× slowdowns
         # with no local process visible (BENCH/BASELINE.md) — recording

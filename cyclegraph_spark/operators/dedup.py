@@ -107,19 +107,38 @@ def _capped_posting_lists(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     )
 
 
+def _assert_unique_ids(df: DataFrame, id_col: str, caller: str) -> None:
+    """One count/countDistinct action over the id column; raises
+    ValueError on duplicates. Opt-in (see ``check_unique``): the gated
+    corpora own the invariant, but a library caller violating it would
+    otherwise get silently wrong jaccard/signatures."""
+    r = df.agg(
+        F.count(F.col(id_col)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if r["n"] != r["nd"]:
+        raise ValueError(
+            f"{caller}: id column '{id_col}' has duplicates "
+            f"({r['n']} rows, {r['nd']} distinct) — dedup on '{id_col}' "
+            "first; duplicated ids silently corrupt set semantics"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    check_unique: bool = False,
 ) -> DataFrame:
     """Exact word-trigram SET Jaccard for candidate pairs (distinct
     shingles per doc — matching ``reference_jaccard``'s set semantics;
     multiplicity counting would diverge on any doc with a repeated
     trigram).
 
-    PRECONDITION: ``id_col`` is unique in ``df`` (one row per document).
+    PRECONDITION: ``id_col`` is unique in ``df`` (one row per document);
+    pass ``check_unique=True`` to enforce it with one extra count action.
     Duplicated (id, text) rows would inflate the per-shingle document
     frequencies and intersection counts, so jaccard would diverge from
     set semantics. The documents table owns that invariant; callers with
@@ -139,6 +158,8 @@ def ngram_jaccard_pairs(
     exact all-pairs baseline (an unbounded posting list would make the
     in-row explode a single-task hot spot — worse than the join).
     """
+    if check_unique:
+        _assert_unique_ids(df, id_col, "ngram_jaccard_pairs")
     # _doc_shingles explodes array_distinct output, so (doc, sh) rows
     # are ALREADY unique — a .distinct() here would re-shuffle the
     # largest relation in the plan for nothing
@@ -243,7 +264,11 @@ def dedup_clusters(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 64,
+    check_unique: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc in ONE aggregation.
 
@@ -256,7 +281,8 @@ def minhash_signatures(
 
     PRECONDITION: ``id_col`` unique (see ngram_jaccard_pairs) — MIN is
     duplicate-tolerant for identical texts, but conflicting texts under
-    one id would silently merge into one signature.
+    one id would silently merge into one signature. Pass
+    ``check_unique=True`` to enforce it with one extra count action.
 
     Aggregate shape, MEASURED (sf0.1, local[16], interleaved ×4): the k
     scalar ``min`` buffers below are the FASTEST bounded-state plan —
@@ -271,6 +297,8 @@ def minhash_signatures(
 
     Output: (doc, sig: array<bigint> length k).
     """
+    if check_unique:
+        _assert_unique_ids(df, id_col, "minhash_signatures")
     sh = _doc_shingles(df, id_col, text_col)
     hashed = sh.select("doc", F.xxhash64("sh").alias("_h"))
     mins = [

@@ -81,6 +81,58 @@ _SOURCES_PROBES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
 }
 
 
+# |v| above this loses bits in the melt's DOUBLE cast — on BOTH engines
+# at once, so a divergence past it could hash-match spuriously.
+_DOUBLE_EXACT_MAX = 2**53
+
+
+def melt_contract_violations(
+    df: DataFrame, probe: str, keys, metrics
+) -> list[str]:
+    """Check the two preconditions the melt gates rely on; returns a
+    human-readable violation list (empty = contract holds).
+
+    1. Precision: every INTEGRAL metric value must fit in a double's
+       53-bit mantissa. The melt casts v to DOUBLE on both engines, so a
+       probe emitting a count beyond 2^53 would silently lose the same
+       low bits on both sides and could mask a real divergence
+       (round-4 VERDICT watch item #2).
+    2. Key uniqueness: the key columns must uniquely key the probe's
+       rows (keyless probes must emit exactly one row) — the composite
+       orders by (probe, k, m) only, so duplicate keys would make tie
+       order engine-dependent (round-4 ADVICE).
+
+    Probe outputs are tiny aggregates (the composites union them in 2
+    registry slots), so the collect here is bounded by construction.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ByteType, ShortType, IntegerType, LongType))
+    }
+    rows = df.collect()
+    out: list[str] = []
+    if keys:
+        kvals = [tuple(r[k] for k in keys) for r in rows]
+        if len(kvals) != len(set(kvals)):
+            out.append(f"{probe}: key columns {keys} do not uniquely key rows")
+    elif len(rows) != 1:
+        out.append(f"{probe}: keyless probe emitted {len(rows)} rows (want 1)")
+    for m in metrics:
+        if m not in integral:
+            continue
+        for r in rows:
+            v = r[m]
+            if v is not None and abs(v) > _DOUBLE_EXACT_MAX:
+                out.append(
+                    f"{probe}.{m}: |{v}| > 2^53 — DOUBLE melt would lose bits"
+                )
+                break
+    return out
+
+
 def _melt_df(df: DataFrame, probe: str, keys, metrics) -> DataFrame:
     k = (
         F.concat_ws(

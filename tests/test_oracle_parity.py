@@ -104,6 +104,55 @@ def test_registry_fits_driver_window():
     )
 
 
+def _probe_contract():
+    from cyclegraph_spark.operators.queries_composite import (
+        _ANALYTICS_PROBES,
+        _SOURCES_PROBES,
+    )
+
+    return sorted({**_ANALYTICS_PROBES, **_SOURCES_PROBES}.items())
+
+
+@pytest.mark.parametrize(
+    "probe,spec", _probe_contract(), ids=[p[0] for p in _probe_contract()]
+)
+def test_melt_probe_contract(spark, probe, spec):
+    """Every extended probe must satisfy the melt-gate contract: integral
+    metrics within the DOUBLE-exact 2^53 band (round-4 VERDICT watch #2)
+    and key columns uniquely keying the rows, so the composite's
+    (probe, k, m) sort is total per value (round-4 ADVICE)."""
+    from cyclegraph_spark.operators.queries import _QUERIES_EXT
+    from cyclegraph_spark.operators.queries_composite import (
+        melt_contract_violations,
+    )
+
+    keys, metrics = spec
+    df = _QUERIES_EXT[probe](spark, SF_DIR)
+    assert melt_contract_violations(df, probe, keys, metrics) == []
+
+
+def test_melt_contract_catches_2p53_overflow(spark):
+    """The guard itself must fire on a crafted probe whose integral
+    metric exceeds 2^53 (where the DOUBLE melt silently loses bits on
+    both engines at once) and on duplicate keys."""
+    from cyclegraph_spark.operators.queries_composite import (
+        melt_contract_violations,
+    )
+
+    big = spark.createDataFrame(
+        [("a", 2**53 + 1), ("b", 3)], "k string, n long"
+    )
+    viol = melt_contract_violations(big, "crafted", ("k",), ("n",))
+    assert any("2^53" in v for v in viol), viol
+
+    dup = spark.createDataFrame([("a", 1), ("a", 2)], "k string, n long")
+    viol = melt_contract_violations(dup, "crafted", ("k",), ("n",))
+    assert any("uniquely" in v for v in viol), viol
+
+    ok = spark.createDataFrame([("a", 2**53)], "k string, n long")
+    assert melt_contract_violations(ok, "crafted", ("k",), ("n",)) == []
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

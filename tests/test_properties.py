@@ -341,3 +341,126 @@ def test_simhash_banding_full_recall_random_signatures(
                 a, b = (da, db) if da < db else (db, da)
                 brute[(a, b)] = h
     assert got == brute
+
+
+def _reference_session_metrics(series, win):
+    """Single-node twin of the reference metric block on one (p, h)
+    series — NP expanding warm-up + len<window branch
+    (core/src/metrics.rs:181-238), PrecisionWatt IQR/1.349 with
+    linear-interpolated quantiles and the min(window, len) clamp
+    (metrics.rs:309-370), Pa:Hr exact-median base (metrics.rs:258-292),
+    status thresholds (core/src/lib.rs:91-97)."""
+    import math
+
+    import numpy as np
+
+    p = [float(w) for w, _ in series]
+    h = [float(x) for _, x in series]
+    n = len(p)
+    roll = [
+        sum(p[max(0, i - win + 1) : i + 1]) / (i + 1 - max(0, i - win + 1))
+        for i in range(n)
+    ]
+    avg_p = sum(p) / n
+    avg_h = sum(h) / n
+    np_val = avg_p if n < win else (sum(r**4 for r in roll) / n) ** 0.25
+    wpb = avg_p / avg_h if avg_h > 0 else 0.0
+    pts = [pi / hi for pi, hi in zip(p, h) if hi > 0 and not math.isnan(pi)]
+    med = float(np.percentile(pts, 50)) if pts else None
+    base = med if med is not None else wpb
+    pa_hr = wpb / base if base > 0 else 0.0
+    vi = np_val / avg_p if avg_p > 0 else 0.0
+    resid = [pi - r for pi, r in zip(p, roll)]
+    iqr = float(np.percentile(resid, 75) - np.percentile(resid, 25))
+    sigma = abs(iqr) / 1.349 if abs(iqr) > 0 else 0.0
+    pw = sigma / math.sqrt(min(win, n))
+    status = (
+        "Lav effekt" if wpb < 1.0 else ("Høy puls" if avg_h > 170.0 else "OK")
+    )
+    return {
+        "avg_power": avg_p,
+        "avg_hr": avg_h,
+        "np": np_val,
+        "vi": vi,
+        "pa_hr": pa_hr,
+        "w_per_beat": wpb,
+        "precision_watt": pw,
+        "status": status,
+    }
+
+
+# integer-valued watts/hr keep every sum/mean exactly representable in a
+# double, so the only Spark-vs-twin FP drift left is in the pow4 / sqrt
+# chains — the tolerances below are 1 rounding step at the output's own
+# precision, tight enough that any BRANCH divergence (warm-up, clamp,
+# guard) fails by whole units.
+_watts_i = st.integers(min_value=-50, max_value=2000)
+_hr_i = st.integers(min_value=0, max_value=220)
+
+
+@settings(**_SETTINGS)
+@given(
+    series_a=st.lists(st.tuples(_watts_i, _hr_i), min_size=1, max_size=40),
+    series_b=st.lists(st.tuples(_watts_i, _hr_i), min_size=0, max_size=10),
+    win=st.sampled_from([1, 2, 5, 30]),
+)
+def test_session_metrics_matches_reference_twin(spark, series_a, series_b, win):
+    """W1 (NP expanding warm-up + len<window branch) and W2
+    (PrecisionWatt IQR sigma + window clamp) vs the pure-Python twin on
+    randomized series — these twins anchor metrics_session_block and the
+    reference goldens, so they must hold on arbitrary inputs, not just
+    the fixture corpus."""
+    from cyclegraph_spark.operators.metrics import session_metrics
+
+    rows = [(1, i, float(w), float(x)) for i, (w, x) in enumerate(series_a)]
+    rows += [(2, i, float(w), float(x)) for i, (w, x) in enumerate(series_b)]
+    df = spark.createDataFrame(
+        rows, "activity_id long, t long, watts double, hr double"
+    )
+    got = {r.activity_id: r for r in session_metrics(df, window=win).collect()}
+    for act, series in ((1, series_a), (2, series_b)):
+        if not series:
+            continue
+        exp = _reference_session_metrics(series, win)
+        g = got[act]
+        assert g.n_samples == len(series)
+        for name in ("avg_power", "avg_hr", "np", "vi", "pa_hr", "w_per_beat"):
+            # 0.011 = one HALF_UP-vs-banker's flip at 2 decimals + FP dust
+            assert abs(getattr(g, name) - round(exp[name], 2)) <= 0.011, (
+                name, act, win, getattr(g, name), exp[name],
+            )
+        assert abs(g.precision_watt - round(exp["precision_watt"], 4)) <= 2e-4, (
+            act, win, g.precision_watt, exp["precision_watt"],
+        )
+        assert g.status == exp["status"], (act, win)
+
+
+@settings(**_SETTINGS)
+@given(
+    win=st.integers(min_value=2, max_value=30),
+    delta=st.sampled_from([-1, 0, 1]),
+    seed_rows=st.lists(st.tuples(_watts_i, _hr_i), min_size=31, max_size=31),
+)
+def test_np_branch_and_pw_clamp_at_window_boundary(spark, win, delta, seed_rows):
+    """Adversarial boundary for the two branchy twins: series of length
+    window−1 / window / window+1. NP must be the PLAIN average strictly
+    below the window (metrics.rs:193-197) and the windowed 4th-power
+    mean at or above it; PrecisionWatt's divisor must clamp to
+    min(window, len) exactly at the seam (metrics.rs:320-324)."""
+    from cyclegraph_spark.operators.metrics import session_metrics
+
+    n = win + delta
+    series = seed_rows[:n]
+    rows = [(1, i, float(w), float(x)) for i, (w, x) in enumerate(series)]
+    df = spark.createDataFrame(
+        rows, "activity_id long, t long, watts double, hr double"
+    )
+    g = session_metrics(df, window=win).collect()[0]
+    exp = _reference_session_metrics(series, win)
+    if n < win:
+        # below the window the branch MUST collapse to the plain mean
+        assert abs(g.np - round(exp["avg_power"], 2)) <= 0.011
+    assert abs(g.np - round(exp["np"], 2)) <= 0.011, (win, delta)
+    assert abs(g.precision_watt - round(exp["precision_watt"], 4)) <= 2e-4, (
+        win, delta,
+    )
