@@ -122,7 +122,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     salt: int = 8,
-    hot_degree: int = 1000,
+    hot_degree: int = 1_000_000,
     stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) → labels(id, component); component = min id.
@@ -137,6 +137,18 @@ def connected_components(
     sharding edges — same goal, fewer moving parts). ``hot_degree`` is
     the degree threshold. Results are identical either way — the levers
     only change the physical join strategy.
+
+    ``hot_degree`` default rationale (MEASURED, r5 tools/skew_stress.py,
+    local[16] idle): the split costs ~2 probe actions + a plan union per
+    round, and a join partition only becomes a real straggler when one
+    key's edge rows approach task-budget scale (~10^6 rows ≈ tens of MB),
+    not at 10^3. On a planted 100k-degree hub + 25k chains (300k edges,
+    4 rounds) a 1000-threshold split ran 36.8 s vs 25.7 s with the split
+    idle — identical labels; on the star-friendly factory corpus (110k
+    edges, 1 round) the two were within host noise. So the default
+    engages the broadcast insurance at true web-scale hotness (degree
+    ≥ 10^6, the 20%-of-10^12-pages entity) and stays out of the way
+    below it; callers with known smaller-but-skewed keys can lower it.
 
     Pass ``stats={}`` to get convergence telemetry back: ``rounds``
     (star rounds until fixpoint) and ``edge_counts`` (surviving edge
@@ -183,18 +195,22 @@ def connected_components(
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
-    # a graph this small cannot produce a join partition worth splitting,
-    # but the hot probes cost two actions (each re-running the minima
-    # agg) per round — skip them. The oriented-distinct count n from the
-    # seed fingerprint bounds the edge count (n ≤ |e| ≤ 2n), which is
-    # plenty for this heuristic threshold and saves a separate count
-    # action over e (fixed per-call overhead at toy scale).
-    if split_hot and prev_fp[0] < 10_000:
-        split_hot = False
     converged = False
     for _ in range(max_iter):
+        # Pigeonhole gate for the hot probes (replaces the r3 `n < 10k`
+        # heuristic; ADVICE r4 #3): a node's degree is bounded by the
+        # round's edge count |e| ≤ 2n (n = the fingerprint's oriented-
+        # distinct count, valid for the e this round consumes), so when
+        # 2n ≤ hot_degree NO node can qualify and both star steps'
+        # hot probes (2 minima-agg actions per round — measured 6.5 s
+        # over 4 rounds on the 300k-edge skew-stress graph at local[16])
+        # are skipped PROVABLY without changing the physical plan choice.
+        # Re-evaluated every round from the latest fingerprint, so a
+        # graph that contracts below the bound stops paying mid-run
+        # while web-scale rounds keep the broadcast-split insurance.
+        probe_hot = split_hot and 2 * prev_fp[0] > hot_degree
         e = _small_star(
-            _large_star(e, hot_degree, split_hot), hot_degree, split_hot
+            _large_star(e, hot_degree, probe_hot), hot_degree, probe_hot
         ).localCheckpoint(eager=True)  # truncate lineage every round
         fp = _fingerprint(e)
         if stats is not None:

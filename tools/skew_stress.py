@@ -12,10 +12,15 @@ recorded run plants REAL skew at bench scale and times the claims:
   shuffle on the dictionary side) and the support window partitions by
   (url, entity), so the hot ENTITY never concentrates in one task.
 - cc: a 100k-degree hub + 25k 8-node chains (300k edges total) through
-  ``connected_components`` twice — hot-minima broadcast split ON
-  (salt=8, the default) vs OFF (salt=1) on the SAME checkpointed input,
-  which is the direct evidence for the split's value; chains force
-  multiple star rounds so the comparison is not a 1-round fluke.
+  ``connected_components`` twice — hot-split machinery armed (salt=8,
+  the default) vs disarmed (salt=1) on the SAME checkpointed input;
+  chains force multiple star rounds so the comparison is not a 1-round
+  fluke. With the r5 defaults the two should be within host noise: this
+  graph sits below the pigeonhole bound (2n ≤ hot_degree), so the armed
+  path provably skips its per-round hot probes — the A/B is the
+  regression guard for that. (The original run at hot_degree=1000
+  measured the premium being eliminated: 36.8 s armed vs 25.7 s
+  disarmed, identical labels.)
 
 Runs pinned to $SPARK_GRAFT_SCALE_4N cores (default 16 = the bench's 4N
 level) in a subprocess. Prints ONE JSON line; paste the numbers into
