@@ -123,6 +123,7 @@ def connected_components(
     max_iter: int = 25,
     salt: int = 8,
     hot_degree: int = 1_000_000,
+    skew_factor: int = 8,
     stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) → labels(id, component); component = min id.
@@ -134,27 +135,54 @@ def connected_components(
 
     ``salt`` > 1 enables the hot-node broadcast split (kept under the
     historical name; the split now broadcasts hot minima instead of
-    sharding edges — same goal, fewer moving parts). ``hot_degree`` is
-    the degree threshold. Results are identical either way — the levers
-    only change the physical join strategy.
+    sharding edges — same goal, fewer moving parts). Results are
+    identical either way — the levers only change the physical join
+    strategy.
 
-    ``hot_degree`` default rationale (MEASURED, r5 tools/skew_stress.py,
-    local[16] idle): the split costs ~2 probe actions + a plan union per
-    round, and a join partition only becomes a real straggler when one
-    key's edge rows approach task-budget scale (~10^6 rows ≈ tens of MB),
-    not at 10^3. On a planted 100k-degree hub + 25k chains (300k edges,
-    4 rounds) a 1000-threshold split ran 36.8 s vs 25.7 s with the split
-    idle — identical labels; on the star-friendly factory corpus (110k
-    edges, 1 round) the two were within host noise. So the default
-    engages the broadcast insurance at true web-scale hotness (degree
-    ≥ 10^6, the 20%-of-10^12-pages entity) and stays out of the way
-    below it; callers with known smaller-but-skewed keys can lower it.
+    Hotness is RELATIVE to the round's shuffle layout, floored by an
+    absolute minimum: a node is hot when its degree exceeds
+
+        max(hot_degree, skew_factor * 4n // P)
+
+    where n is the round fingerprint's oriented-distinct edge count
+    (the star-join's shuffled side has ≤ 4n rows, so 4n/P bounds the
+    average rows per shuffle partition) and P =
+    ``spark.sql.shuffle.partitions``. Rationale, both directions:
+
+    - An ABSOLUTE threshold is wrong at web scale: on a 10^12-edge
+      round with P=2*10^5, the average partition holds ~2*10^7 rows —
+      a degree-10^6 key is *under* average (not skewed), yet a fixed
+      10^6 cutoff would flag up to 4*10^6 such keys and try to
+      broadcast them all. The relative form caps the hot relation at
+      Σdeg/thr ≤ 4n / (skew_factor*4n/P) = **P/skew_factor rows at any
+      scale** — always broadcastable.
+    - The ``hot_degree`` floor keeps the split out of the way on small
+      graphs where even a maximal hub fits one task trivially
+      (MEASURED, r5 tools/skew_stress.py, local[16] idle: a planted
+      100k-degree hub + 25k chains ran 36.8 s with a 1000-threshold
+      split vs 25.7 s without, identical labels — a 100k-row join
+      partition is not a straggler; a planted 2M-degree hub above the
+      floor ran 40.4 s armed vs 27.2 s disarmed for the same reason:
+      in a single JVM no partition straggles, so the probes + split
+      plan are pure insurance premium. The premium only pays off when
+      one key's rows dwarf the average partition on a real cluster).
+    - ``skew_factor`` ≈ AQE's skewedPartitionFactor (5× median) with
+      slack; 0 disables the relative term (pure absolute threshold —
+      used by regression tests that force the split on planted hubs).
 
     Pass ``stats={}`` to get convergence telemetry back: ``rounds``
-    (star rounds until fixpoint) and ``edge_counts`` (surviving edge
-    count per round) — the observable for the O(log n) claim.
+    (star rounds until fixpoint), ``edge_counts`` (surviving edge
+    count per round — the observable for the O(log n) claim), and
+    ``hot_thresholds`` (the effective per-round threshold, None for a
+    round whose probes were pigeonhole-skipped).
     """
     split_hot = salt > 1
+    try:
+        shuffle_p = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        shuffle_p = 200
     # materialize the caller's edge lineage exactly ONCE: verts and e
     # both derive from it, and checkpointing each separately (the old
     # shape) recomputed the caller's (possibly expensive, un-checkpointed)
@@ -176,6 +204,7 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = 0
         stats["edge_counts"] = []
+        stats["hot_thresholds"] = []
 
     def _fingerprint(d: DataFrame) -> tuple:
         row = d.agg(
@@ -197,25 +226,31 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
+        # Effective threshold = absolute floor ∨ relative skew bound
+        # (docstring); re-derived every round from the fingerprint n
+        # already in hand, so it tracks the contracting edge set.
+        thr = hot_degree
+        if skew_factor > 0:
+            thr = max(thr, skew_factor * 4 * prev_fp[0] // shuffle_p)
         # Pigeonhole gate for the hot probes (replaces the r3 `n < 10k`
         # heuristic; ADVICE r4 #3): a node's degree is bounded by the
         # round's edge count |e| ≤ 2n (n = the fingerprint's oriented-
         # distinct count, valid for the e this round consumes), so when
-        # 2n ≤ hot_degree NO node can qualify and both star steps'
-        # hot probes (2 minima-agg actions per round — measured 6.5 s
-        # over 4 rounds on the 300k-edge skew-stress graph at local[16])
-        # are skipped PROVABLY without changing the physical plan choice.
-        # Re-evaluated every round from the latest fingerprint, so a
-        # graph that contracts below the bound stops paying mid-run
+        # 2n ≤ thr NO node can qualify and both star steps' hot probes
+        # (2 minima-agg actions per round — measured 6.5 s over 4
+        # rounds on the 300k-edge skew-stress graph at local[16]) are
+        # skipped PROVABLY without changing the physical plan choice.
+        # A graph that contracts below the bound stops paying mid-run
         # while web-scale rounds keep the broadcast-split insurance.
-        probe_hot = split_hot and 2 * prev_fp[0] > hot_degree
+        probe_hot = split_hot and 2 * prev_fp[0] > thr
         e = _small_star(
-            _large_star(e, hot_degree, probe_hot), hot_degree, probe_hot
+            _large_star(e, thr, probe_hot), thr, probe_hot
         ).localCheckpoint(eager=True)  # truncate lineage every round
         fp = _fingerprint(e)
         if stats is not None:
             stats["rounds"] += 1
             stats["edge_counts"].append(fp[0])
+            stats["hot_thresholds"].append(thr if probe_hot else None)
         if fp == prev_fp:
             converged = True
             break
