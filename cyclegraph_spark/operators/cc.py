@@ -186,7 +186,14 @@ def connected_components(
     # materialize the caller's edge lineage exactly ONCE: verts and e
     # both derive from it, and checkpointing each separately (the old
     # shape) recomputed the caller's (possibly expensive, un-checkpointed)
-    # upstream plan twice before the first contraction round
+    # upstream plan twice before the first contraction round.
+    # EAGER on purpose — measured, do not "optimize" to eager=False:
+    # fusing the checkpoint into the next action looks like it saves a
+    # job per round, but a lazy localCheckpoint freezes a physical plan
+    # BEFORE AQE's runtime re-optimization (no shuffle-partition
+    # coalescing on the small contracted relations), and the armed-path
+    # pathology test regressed 24.7 → 45.9 s when all CC checkpoints
+    # went lazy (r5, local[32] idle, identical labels).
     e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -245,7 +252,9 @@ def connected_components(
         probe_hot = split_hot and 2 * prev_fp[0] > thr
         e = _small_star(
             _large_star(e, thr, probe_hot), thr, probe_hot
-        ).localCheckpoint(eager=True)  # truncate lineage every round
+        ).localCheckpoint(eager=True)  # truncate lineage every round;
+        # eager on purpose (see the seed-checkpoint comment: lazy loses
+        # AQE re-optimization and measured ~1.9x slower on the armed path)
         fp = _fingerprint(e)
         if stats is not None:
             stats["rounds"] += 1
