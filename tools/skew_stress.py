@@ -25,6 +25,12 @@ recorded run plants REAL skew at bench scale and times the claims:
 Runs pinned to $SPARK_GRAFT_SCALE_4N cores (default 16 = the bench's 4N
 level) in a subprocess. Prints ONE JSON line; paste the numbers into
 BENCH/BASELINE.md.
+
+For the ABOVE-floor A/B (hub degree over the 10^6 absolute floor, so
+the armed path's probes/split actually engage — recorded r5 at 2M
+degree: armed 40-45 s vs disarmed 27-29 s, identical labels; see
+BENCH/BASELINE.md "Above-the-floor A/B"), set
+SPARK_GRAFT_SKEW_HUB=2000000.
 """
 
 from __future__ import annotations
