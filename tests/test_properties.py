@@ -464,3 +464,77 @@ def test_np_branch_and_pw_clamp_at_window_boundary(spark, win, delta, seed_rows)
     assert abs(g.precision_watt - round(exp["precision_watt"], 4)) <= 2e-4, (
         win, delta,
     )
+
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsil", "zeta"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(doc_words=st.lists(_words, min_size=1, max_size=12))
+def test_minhash_twin_matches_spark(spark, doc_words):
+    """The MinHash twin in tools/gen_value_oracles.py GENERATES the
+    dedup_minhash_lsh VALUES oracle, so its whole chain — shingling,
+    hash-once per-seed values, 64-way min, band-slice xxhash64 fold,
+    candidate pairing, agreement estimate — must equal the Spark
+    operators on arbitrary texts, not just the seeded sf0.01 corpus.
+    Small word alphabet forces shingle collisions across docs."""
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "gen_value_oracles" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "gen_value_oracles", os.path.join(repo, "tools", "gen_value_oracles.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["gen_value_oracles"] = mod
+        spec.loader.exec_module(mod)
+    twin = sys.modules["gen_value_oracles"]
+    from cyclegraph_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    from cyclegraph_spark.functions.xxh64 import (
+        _to_signed,
+        xxh64_bytes,
+        xxh64_int,
+        xxh64_long,
+    )
+    from cyclegraph_spark.operators.dedup import reference_shingles
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs_df = minhash_signatures(df, k=64)
+    got_sigs = {r.doc: tuple(r.sig) for r in sigs_df.collect()}
+    # twin signature chain (shingle set -> per-seed min), doc for doc
+    exp_sigs = {}
+    for doc_id, text in docs:
+        shs = reference_shingles(text)
+        if not shs:
+            continue
+        per_sh = {}
+        for sh in shs:
+            h = _to_signed(xxh64_bytes(sh.encode("utf-8"), 42))
+            seed = xxh64_long(h, 42)
+            per_sh[sh] = [_to_signed(xxh64_int(i, seed)) for i in range(64)]
+        exp_sigs[doc_id] = tuple(
+            min(per_sh[sh][i] for sh in shs) for i in range(64)
+        )
+    assert got_sigs == exp_sigs
+
+    got_pairs = {
+        (r.doc_a, r.doc_b, round(r.est_jaccard, 9))
+        for r in minhash_lsh_pairs(
+            sigs_df, bands=16, rows=4, est_threshold=0.1
+        ).collect()
+    }
+    exp_pairs = {(a, b, round(est, 9)) for a, b, est in twin.minhash_lsh_twin(docs)}
+    assert got_pairs == exp_pairs
