@@ -538,3 +538,61 @@ def test_minhash_twin_matches_spark(spark, doc_words):
     }
     exp_pairs = {(a, b, round(est, 9)) for a, b, est in twin.minhash_lsh_twin(docs)}
     assert got_pairs == exp_pairs
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(doc_words=st.lists(_words, min_size=1, max_size=14))
+def test_simhash_twin_matches_spark(spark, doc_words):
+    """The SimHash twin (which generates the dedup_simhash VALUES
+    oracle) must equal the Spark operator — signature bit-for-bit
+    including vote ties, and near-pair set at max_hamming=6 — on random
+    word docs, not just the seeded corpus. The small alphabet yields
+    duplicate and near-duplicate docs, so the pair stage is exercised,
+    and repeated tokens pin the frequency-weighted voting."""
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "gen_value_oracles" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "gen_value_oracles", os.path.join(repo, "tools", "gen_value_oracles.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["gen_value_oracles"] = mod
+        spec.loader.exec_module(mod)
+    twin = sys.modules["gen_value_oracles"]
+    from cyclegraph_spark.operators.dedup import simhash, simhash_near_pairs
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(doc_words)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sigs_df = simhash(df)
+    got_sigs = {r.doc: r.simhash for r in sigs_df.collect()}
+    exp_pairs_list = twin.simhash_twin(docs)
+    # rebuild the twin's signature dict the same way it does internally
+    from cyclegraph_spark.functions.xxh64 import xxh64_bytes
+
+    exp_sigs = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.strip().split() if t != ""]
+        if not toks:
+            continue
+        votes = [0] * 63
+        for t in toks:
+            h = xxh64_bytes(t.encode("utf-8"), 42)
+            for b in range(63):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = 0
+        for b in range(63):
+            if votes[b] > 0:
+                sig |= 1 << b
+        exp_sigs[doc_id] = sig
+    assert got_sigs == exp_sigs
+
+    got_pairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(sigs_df, max_hamming=6).collect()
+    }
+    assert got_pairs == set(exp_pairs_list)
