@@ -374,12 +374,17 @@ def lift_html_pages_jvm(pages: DataFrame, url_col: str = "url") -> DataFrame:
     permits (vectorized pandas/Arrow UDFs, no per-row Python).
     """
 
-    def _island(pattern: str, prop_pattern: str) -> Column:
+    def _island(pattern: str, prop_pattern: str, expand_type: bool) -> Column:
         items = F.regexp_extract_all(F.col("h"), F.lit(pattern), F.lit(0))
 
         def per_item(item: Column) -> Column:
             itemid = F.regexp_extract(item, pattern, 3)
-            itemtype = _expand_col(F.regexp_extract(item, pattern, 2))
+            # microdata itemtype is an absolute URL by spec and the Python
+            # parser emits it verbatim; only RDFa typeof (CURIE-friendly)
+            # goes through _expand — keep both engines identical on bare
+            # or prefixed types, not just the corpus's absolute URIs
+            rawtype = F.regexp_extract(item, pattern, 2)
+            itemtype = _expand_col(rawtype) if expand_type else rawtype
             type_t = F.array(
                 F.struct(
                     itemid.alias("subj"),
@@ -450,7 +455,9 @@ def lift_html_pages_jvm(pages: DataFrame, url_col: str = "url") -> DataFrame:
     ))
 
     all_triples = F.concat(
-        _island(_J_MICRO, _J_MICRO_PROP), _island(_J_RDFA, _J_RDFA_PROP), jsonld_triples
+        _island(_J_MICRO, _J_MICRO_PROP, expand_type=False),
+        _island(_J_RDFA, _J_RDFA_PROP, expand_type=True),
+        jsonld_triples,
     )
     raw = (
         pages.select(

@@ -596,3 +596,200 @@ def test_simhash_twin_matches_spark(spark, doc_words):
         for r in simhash_near_pairs(sigs_df, max_hamming=6).collect()
     }
     assert got_pairs == set(exp_pairs_list)
+
+
+@st.composite
+def _link_case(draw):
+    """Random docs + alias dictionary over a tiny shared vocabulary so
+    1..3-gram aliases collide with document n-grams, the same alias maps
+    to competing entities (tie-break path), and repeated mentions build
+    context support."""
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=0, max_size=12),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    n_alias = draw(st.integers(min_value=1, max_value=8))
+    seen: set[tuple[str, str]] = set()
+    rows = []
+    for _ in range(n_alias):
+        k = draw(st.integers(min_value=1, max_value=3))
+        alias = " ".join(
+            draw(st.sampled_from(vocab)) for _ in range(k)
+        )
+        eid = draw(st.sampled_from(["e1", "e2", "e3"]))
+        if (alias, eid) in seen:
+            continue
+        seen.add((alias, eid))
+        prior = draw(st.sampled_from([0.3, 0.45, 0.5, 0.62, 0.75, 0.9]))
+        rows.append((alias, eid, prior))
+    return docs, rows
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=_link_case())
+def test_linking_twin_matches_spark(spark, case):
+    """reference_link GENERATES the kg_entity_links VALUES oracle, so it
+    must equal link_mentions — positions, longest-alias/score/entity
+    tie-break, ln-support context scores, and the rounded score's exact
+    lexical value — on arbitrary docs, not just the seeded corpus. The
+    row_number variant must compute the identical relation."""
+    from cyclegraph_spark.operators.linking import (
+        link_mentions,
+        link_mentions_window,
+        reference_link,
+    )
+
+    docs, alias_rows = case
+    pages = spark.createDataFrame(
+        [(f"u{i}", " ".join(ws)) for i, ws in enumerate(docs)],
+        "url string, text string",
+    )
+    aliases = spark.createDataFrame(
+        alias_rows, "alias string, entity_id string, prior double"
+    )
+
+    got = {
+        (r.url, r.pos, r.alias, r.entity_id, r.score)
+        for r in link_mentions(pages, aliases).collect()
+    }
+    exp = set()
+    for i, ws in enumerate(docs):
+        for pos, alias, eid, score in reference_link(" ".join(ws), alias_rows):
+            exp.add((f"u{i}", pos, alias, eid, score))
+    assert got == exp, (
+        f"missing={sorted(exp - got)[:3]} extra={sorted(got - exp)[:3]}"
+    )
+
+    got_w = {
+        (r.url, r.pos, r.alias, r.entity_id, r.score)
+        for r in link_mentions_window(pages, aliases).collect()
+    }
+    assert got_w == got
+
+
+_lift_values = st.sampled_from(
+    ["", "  ", "1", "0", "12.9", " 300 ", "true", " False ", "N/A",
+     "7.25", "-3", "x y", "deep blue", "12,5"]
+)
+_lift_props = st.sampled_from(
+    ["power", "heartRate", "timeS", "altitude", "moving", "name",
+     "identifier", "color", "schema:power"]
+)
+_lift_types = st.sampled_from(
+    ["http://schema.org/Thing", "https://schema.org/Person",
+     "schema:Widget", "Gadget"]
+)
+
+
+@st.composite
+def _lift_pages(draw):
+    """Random pages of well-formed microdata/RDFa islands (+ at most one
+    generator-shaped JSON-LD script) interleaved with junk prose. Values
+    exercise every coercion branch inside the engine-parity pool (the
+    beyond-2^63 / non-finite policy divergences are pinned separately by
+    test_lift_literal_engine_policy)."""
+    import json as _json
+
+    pages = []
+    for pi in range(draw(st.integers(min_value=1, max_value=3))):
+        parts = ["<html><body><p>junk prose</p>"]
+        for ii in range(draw(st.integers(min_value=0, max_value=3))):
+            fam = draw(st.sampled_from(["micro", "rdfa", "jsonld"]))
+            iid = f"https://x.example/p{pi}i{ii}"
+            if fam == "micro":
+                props = "".join(
+                    f'<span itemprop="{draw(_lift_props)}">{draw(_lift_values)}</span>'
+                    for _ in range(draw(st.integers(0, 4)))
+                )
+                parts.append(
+                    f'<div itemscope itemtype="{draw(_lift_types)}" '
+                    f'itemid="{iid}">{props}</div>'
+                )
+            elif fam == "rdfa":
+                props = "".join(
+                    f'<meta property="{draw(_lift_props)}" '
+                    f'content="{draw(_lift_values)}">'
+                    for _ in range(draw(st.integers(0, 4)))
+                )
+                parts.append(
+                    f'<section typeof="{draw(_lift_types)}" '
+                    f'about="{iid}">{props}</section>'
+                )
+            elif "ld+json" not in "".join(parts):  # JVM path reads 1st only
+                doc = {"@id": iid}
+                if draw(st.booleans()):
+                    doc["@type"] = draw(_lift_types)
+                if draw(st.booleans()):
+                    doc["identifier"] = draw(_lift_values)
+                if draw(st.booleans()):
+                    doc["agent"] = [
+                        {"@id": f"{iid}a{k}", "sameAs": f"https://same.example/{k}"}
+                        for k in range(draw(st.integers(1, 2)))
+                    ]
+                parts.append(
+                    '<script type="application/ld+json">'
+                    + _json.dumps(doc)
+                    + "</script>"
+                )
+        parts.append("</body></html>")
+        pages.append((f"https://x.example/pg{pi}", "".join(parts).encode("utf-8")))
+    return pages
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pages=_lift_pages())
+def test_html_lift_twin_and_jvm_match_udf(spark, pages):
+    """The HTML-lift twin (_lift_page_rows, which GENERATES the
+    kg_html_lift VALUES oracle) must equal lift_html_pages as a MULTISET
+    on arbitrary islands, and the zero-Python lift_html_pages_jvm must
+    equal the pandas-UDF path row for row — including bare/CURIE
+    itemtypes, which only the corpus's absolute URIs left untested."""
+    from collections import Counter
+
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if "gen_value_oracles" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "gen_value_oracles", os.path.join(repo, "tools", "gen_value_oracles.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["gen_value_oracles"] = mod
+        spec.loader.exec_module(mod)
+    twin = sys.modules["gen_value_oracles"]
+    from cyclegraph_spark.operators.triples import (
+        lift_html_pages,
+        lift_html_pages_jvm,
+    )
+
+    df = spark.createDataFrame(pages, "url string, html binary")
+    got = Counter(
+        (r.src, r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in lift_html_pages(df).collect()
+    )
+    exp = Counter(
+        (url, s, p, o, d)
+        for url, html in pages
+        for s, p, o, d in twin._lift_page_rows(url, html)
+    )
+    assert got == exp, (
+        f"missing={sorted((exp - got).keys())[:3]} "
+        f"extra={sorted((got - exp).keys())[:3]}"
+    )
+
+    got_jvm = Counter(
+        (r.src, r.subj, r.pred, r.obj, r.obj_dtype)
+        for r in lift_html_pages_jvm(df).collect()
+    )
+    assert got_jvm == got, (
+        f"missing={sorted((got - got_jvm).keys())[:3]} "
+        f"extra={sorted((got_jvm - got).keys())[:3]}"
+    )
