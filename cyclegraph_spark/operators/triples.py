@@ -417,15 +417,20 @@ def lift_html_pages_jvm(pages: DataFrame, url_col: str = "url") -> DataFrame:
         )
 
     nid = j.getField("@id")
-    jsonld_triples = F.when(
-        j.isNotNull() & nid.isNotNull(),
+    _empty = F.expr("array()").cast(
+        "array<struct<subj:string,pred:string,raw:string,kind:string>>"
+    )
+    # the Python walker skips falsy @id ("" as well as null) for the
+    # root's @type/identifier triples but still RECURSES into agent
+    # objects — so agent sameAs triples depend only on their own @id,
+    # never on the root's
+    root_triples = F.when(
+        j.isNotNull() & nid.isNotNull() & (nid != F.lit("")),
         F.concat(
             F.when(
                 j.getField("@type").isNotNull(),
                 F.array(_t(nid, RDF_TYPE, _expand_col(j.getField("@type")))),
-            ).otherwise(F.expr("array()").cast(
-                "array<struct<subj:string,pred:string,raw:string,kind:string>>"
-            )),
+            ).otherwise(_empty),
             F.when(
                 j.getField("identifier").isNotNull(),
                 F.array(
@@ -436,23 +441,24 @@ def lift_html_pages_jvm(pages: DataFrame, url_col: str = "url") -> DataFrame:
                         F.lit("raw").alias("kind"),  # string literal
                     )
                 ),
-            ).otherwise(F.expr("array()").cast(
-                "array<struct<subj:string,pred:string,raw:string,kind:string>>"
-            )),
-            F.transform(
-                F.filter(
-                    F.coalesce(j.getField("agent"), F.expr("array()").cast(
-                        "array<struct<`@id`:string,sameAs:string>>"
-                    )),
-                    lambda a: a.getField("@id").isNotNull()
-                    & a.getField("sameAs").isNotNull(),
-                ),
-                lambda a: _t(a.getField("@id"), OWL_SAMEAS, a.getField("sameAs")),
-            ),
+            ).otherwise(_empty),
         ),
-    ).otherwise(F.expr("array()").cast(
-        "array<struct<subj:string,pred:string,raw:string,kind:string>>"
-    ))
+    ).otherwise(_empty)
+    agent_triples = F.when(
+        j.isNotNull(),
+        F.transform(
+            F.filter(
+                F.coalesce(j.getField("agent"), F.expr("array()").cast(
+                    "array<struct<`@id`:string,sameAs:string>>"
+                )),
+                lambda a: a.getField("@id").isNotNull()
+                & (a.getField("@id") != F.lit(""))
+                & a.getField("sameAs").isNotNull(),
+            ),
+            lambda a: _t(a.getField("@id"), OWL_SAMEAS, a.getField("sameAs")),
+        ),
+    ).otherwise(_empty)
+    jsonld_triples = F.concat(root_triples, agent_triples)
 
     all_triples = F.concat(
         _island(_J_MICRO, _J_MICRO_PROP, expand_type=False),

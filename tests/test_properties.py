@@ -721,7 +721,9 @@ def _lift_pages(draw):
                     f'about="{iid}">{props}</section>'
                 )
             elif "ld+json" not in "".join(parts):  # JVM path reads 1st only
-                doc = {"@id": iid}
+                # empty @id must yield NO triples on every path (the
+                # Python walker skips falsy @id, not just null)
+                doc = {"@id": draw(st.sampled_from([iid, iid, iid, ""]))}
                 if draw(st.booleans()):
                     doc["@type"] = draw(_lift_types)
                 if draw(st.booleans()):
