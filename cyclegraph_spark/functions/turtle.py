@@ -31,7 +31,14 @@ def _compact(uri: str) -> str:
     for pfx, ns in PREFIXES.items():
         if uri.startswith(ns):
             local = uri[len(ns):]
-            if local and all(c.isalnum() or c in "_-." for c in local):
+            # PN_LOCAL: dots allowed inside but not at the end, and the
+            # first char may not be '-' or '.' — fall back to <uri> form
+            if (
+                local
+                and all(c.isalnum() or c in "_-." for c in local)
+                and not local.endswith(".")
+                and (local[0].isalnum() or local[0] == "_")
+            ):
                 return f"{pfx}:{local}"
     return f"<{uri}>"
 
@@ -39,7 +46,13 @@ def _compact(uri: str) -> str:
 def _term(obj: str, obj_dtype: str) -> str:
     if obj_dtype == "uri":
         return _compact(obj)
-    escaped = obj.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    # STRING_LITERAL_QUOTE excludes raw #x22 #x5C #xA #xD — escape all four
+    escaped = (
+        obj.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
     if obj_dtype and obj_dtype.startswith(_XSD):
         return f'"{escaped}"^^{_compact(obj_dtype)}'
     return f'"{escaped}"'

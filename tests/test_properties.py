@@ -795,3 +795,117 @@ def test_html_lift_twin_and_jvm_match_udf(spark, pages):
         f"missing={sorted((got - got_jvm).keys())[:3]} "
         f"extra={sorted((got_jvm - got).keys())[:3]}"
     )
+
+
+_TTL_NS = {
+    "cg": "https://cyclegraph.dev/ns#",
+    "schema": "http://schema.org/",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+_ttl_locals = st.sampled_from(
+    ["power", "a_b-c", "x.y", "9lead", "_u", "a.", "-x", "a b", "sub/path", ""]
+)
+_ttl_texts = st.text(
+    alphabet='ab "\\\n\r\tæ日', min_size=0, max_size=12
+)
+_ttl_dtypes = st.sampled_from(
+    ["http://www.w3.org/2001/XMLSchema#string",
+     "http://www.w3.org/2001/XMLSchema#integer",
+     "http://www.w3.org/2001/XMLSchema#boolean"]
+)
+
+
+@st.composite
+def _ttl_rows(draw):
+    rows = []
+    for _ in range(draw(st.integers(1, 12))):
+        ns = draw(st.sampled_from(list(_TTL_NS.values()) + ["https://other.example/"]))
+        subj = ns + draw(_ttl_locals)
+        pred = draw(st.sampled_from(list(_TTL_NS.values()))) + draw(_ttl_locals)
+        if draw(st.booleans()):
+            obj, dt = draw(st.sampled_from(list(_TTL_NS.values()))) + draw(_ttl_locals), "uri"
+        else:
+            obj, dt = draw(_ttl_texts), draw(_ttl_dtypes)
+        rows.append((subj, pred, obj, dt))
+    return rows
+
+
+_TTL_TERM = __import__("re").compile(
+    r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:\^\^\S+)?|\S+'
+)
+
+
+def _ttl_unterm(tok: str, prefixes: dict[str, str]) -> tuple[str, str]:
+    """Turtle term token → (value, dtype) with 'uri' for IRIs."""
+    def expand(t: str) -> str:
+        if t.startswith("<"):
+            return t[1:-1]
+        pfx, local = t.split(":", 1)
+        return prefixes[pfx] + local
+
+    if tok.startswith('"'):
+        if tok.endswith('"'):
+            lit, dt = tok[1:-1], ""
+        else:
+            lit, typ = tok.rsplit("^^", 1)
+            lit, dt = lit[1:-1], expand(typ)
+        out, i = [], 0
+        while i < len(lit):
+            if lit[i] == "\\":
+                out.append({"\\": "\\", '"': '"', "n": "\n", "r": "\r"}[lit[i + 1]])
+                i += 2
+            else:
+                assert lit[i] not in '"\\\n\r', f"raw forbidden char in {tok!r}"
+                out.append(lit[i])
+                i += 1
+        return "".join(out), dt
+    return expand(tok), "uri"
+
+
+def _parse_turtle(text: str):
+    """Independent mini-reader for the serializer's output subset."""
+    prefixes: dict[str, str] = {}
+    triples: list[tuple[str, str, str, str]] = []
+    subj = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith("@prefix"):
+            _, pfx, uri, dot = line.split(" ")
+            assert dot == "."
+            prefixes[pfx[:-1]] = uri[1:-1]
+            continue
+        assert line.endswith(" ;") or line.endswith(" ."), repr(line)
+        body, term = line[:-2], line[-1]
+        toks = _TTL_TERM.findall(body)
+        if not raw.startswith(" "):  # block opener carries the subject
+            subj = _ttl_unterm(toks[0], prefixes)[0]
+            toks = toks[1:]
+        assert len(toks) == 2, toks
+        p = _ttl_unterm(toks[0], prefixes)[0]
+        o, dt = _ttl_unterm(toks[1], prefixes)
+        triples.append((subj, p, o, dt))
+        if term == ".":
+            subj = None
+    return triples
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=_ttl_rows())
+def test_turtle_roundtrip_and_order_invariance(rows):
+    """The Turtle sink must emit spec-valid prefixed names and string
+    escapes for ARBITRARY locals/literals (trailing-dot and leading
+    '-'/'.' locals must fall back to <uri> form; '\"' '\\' newline and
+    carriage return must be escaped) and must round-trip the triple SET
+    exactly; output must be invariant under input row order."""
+    from cyclegraph_spark.functions.turtle import to_turtle
+
+    text = to_turtle(rows)
+    got = set(_parse_turtle(text))
+    assert got == set(rows), (
+        f"missing={sorted(set(rows) - got)[:3]} extra={sorted(got - set(rows))[:3]}"
+    )
+    # every emitted prefixed name is PN_LOCAL-safe (parser would have
+    # choked on '<' fallbacks, so just assert determinism here)
+    assert to_turtle(list(reversed(rows))) == text
