@@ -909,3 +909,75 @@ def test_turtle_roundtrip_and_order_invariance(rows):
     # every emitted prefixed name is PN_LOCAL-safe (parser would have
     # choked on '<' fallbacks, so just assert determinism here)
     assert to_turtle(list(reversed(rows))) == text
+
+
+@st.composite
+def _ride_series(draw):
+    """Random physically-plausible ride: bounded speeds/altitude steps,
+    a small GPS walk, arbitrary wind — exercises the centered gravity
+    window, bearing, and air-density branches off the golden shapes."""
+    n = draw(st.integers(min_value=5, max_value=40))
+    rows, alt = [], draw(st.integers(0, 1500)) * 1.0
+    lat, lon = 59.91, 10.75
+    for i in range(n):
+        alt += draw(st.integers(-40, 40)) / 10.0
+        lat += draw(st.integers(-20, 20)) * 1e-5
+        lon += draw(st.integers(-20, 20)) * 1e-5
+        rows.append(
+            {
+                "t": float(i),
+                "v_ms": draw(st.integers(5, 250)) / 10.0,
+                "altitude_m": alt,
+                "latitude": lat,
+                "longitude": lon,
+            }
+        )
+    wind_ms = draw(st.integers(0, 150)) / 10.0
+    wind_to = draw(st.integers(0, 359)) * 1.0
+    return rows, wind_ms, wind_to
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=_ride_series())
+def test_power_model_twin_on_random_rides(spark, case):
+    """P5-P12 power model vs the single-node twin on RANDOM rides (the
+    fixed test pins one sinusoidal shape): ±1 W power, 1e-6 on the wind
+    projection — same tolerances as the reference's golden stability."""
+    import pytest
+    from pyspark.sql import types as T
+    from cyclegraph_spark.functions.physics import (
+        reference_power_series,
+        with_power_model,
+    )
+
+    rows, wind_ms, wind_to = case
+    schema = T.StructType(
+        [
+            T.StructField("activity_id", T.StringType()),
+            T.StructField("t", T.DoubleType()),
+            T.StructField("v_ms", T.DoubleType()),
+            T.StructField("altitude_m", T.DoubleType()),
+            T.StructField("latitude", T.DoubleType()),
+            T.StructField("longitude", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("a", r["t"], r["v_ms"], r["altitude_m"], r["latitude"], r["longitude"])
+            for r in rows
+        ],
+        schema,
+    )
+    got = (
+        with_power_model(df, wind_ms=wind_ms, wind_to_deg=wind_to)
+        .orderBy("t")
+        .select("power", "wind_rel", "v_rel")
+        .collect()
+    )
+    exp = reference_power_series(rows, wind_ms=wind_ms, wind_to_deg=wind_to)
+    assert len(got) == len(exp)
+    for g, (p, wrel, vrel) in zip(got, exp):
+        assert abs(g.power - p) <= 1.0, (g.power, p)
+        assert abs(g.wind_rel - wrel) <= 1e-6
+        assert abs(g.v_rel - vrel) <= 1e-6
