@@ -105,6 +105,13 @@ def materialize_triples(
         bt = bt.filter(~F.col("part_id").isin(*[int(d) for d in done]))
 
     t0 = time.time()
+    # REBALANCE by bucket before the partitioned write (guide §6): with
+    # the source's own partitioning every task holding rows of bucket k
+    # opens a file under part_id=k — measured 589 files / 1.84 s for a
+    # 25 MB store vs 32 files / 0.60 s rebalanced. The hint (vs a plain
+    # repartition) lets AQE split oversized buckets into several write
+    # tasks at scale, so one hot bucket cannot serialize the write.
+    bt = bt.hint("rebalance", "part_id")
     # DYNAMIC partition overwrite, not append: a bucket that is being
     # (re)processed replaces its directory atomically on job commit, so
     # replaying a crashed run (manifest never committed) cannot
