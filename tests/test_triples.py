@@ -133,3 +133,42 @@ def test_out_of_dictionary_itemprop_parity(spark):
     objs = {o for _, p, o, _ in got if p.endswith("color")}
     assert objs == {"deep blue"}
     assert not any(p.endswith(("flavour", "texture")) for _, p, _, _ in got)
+
+
+def test_anchored_finditer_matches_re_finditer():
+    """_finditer_tag/_finditer_at are drop-in re.finditer twins: the
+    needle-anchored scan must yield the IDENTICAL match sequence
+    (spans + groups) on adversarial inputs — stray '<'/'>' inside
+    attributes, needles in body text, overlapping islands, truncation."""
+    import random
+
+    from cyclegraph_spark.operators.triples import (
+        _RE_JSONLD,
+        _RE_MICRO_ITEM,
+        _RE_MICRO_PROP,
+        _RE_RDFA_ITEM,
+        _RE_RDFA_PROP,
+        _finditer_at,
+        _finditer_tag,
+    )
+
+    rng = random.Random(7)
+    alphabet = list('<>"= abitemscopyfdlnk/') + [
+        "itemscope", 'itemtype="', 'itemid="', 'typeof="', 'about="',
+        'property="', 'content="', 'itemprop="', "<div ", "</div>",
+        "<span ", "</span >", '<script type="application/ld+json">',
+        "</script>", '{"@id":"x"}', "scope", "\n", "x>", "<<", ">>",
+    ]
+    cases = [
+        (_RE_MICRO_ITEM, "itemscope", _finditer_tag),
+        (_RE_RDFA_ITEM, "typeof", _finditer_tag),
+        (_RE_JSONLD, "application/ld+json", _finditer_tag),
+        (_RE_MICRO_PROP, "itemprop", _finditer_at),
+        (_RE_RDFA_PROP, "property", _finditer_at),
+    ]
+    for _ in range(4000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for pat, needle, fn in cases:
+            expect = [(m.span(), m.groups()) for m in pat.finditer(s)]
+            got = [(m.span(), m.groups()) for m in fn(pat, s, needle)]
+            assert got == expect, (s, needle)
