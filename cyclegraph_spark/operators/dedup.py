@@ -301,11 +301,15 @@ def minhash_signatures(
         _assert_unique_ids(df, id_col, "minhash_signatures")
     sh = _doc_shingles(df, id_col, text_col)
     hashed = sh.select("doc", F.xxhash64("sh").alias("_h"))
-    mins = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"h{i}") for i in range(k)
-    ]
+    # F.expr strings, not per-column builders: each Column-API call is a
+    # py4j round trip, and k=64 permutations × ~5 calls each cost ~0.9 s
+    # of pure DRIVER time per query construction (measured; guide §1.2
+    # step 2 — per-task work includes the driver's plan building). The
+    # parsed expressions resolve to the identical operators.
+    mins = [F.expr(f"min(xxhash64(_h, {i})) AS h{i}") for i in range(k)]
     agg = hashed.groupBy("doc").agg(*mins)
-    return agg.select("doc", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+    sig = "array(" + ", ".join(f"h{i}" for i in range(k)) + ") AS sig"
+    return agg.select("doc", F.expr(sig))
 
 
 def minhash_lsh_pairs(
@@ -324,21 +328,15 @@ def minhash_lsh_pairs(
     # band hash = xxhash64 over the band's signature SLICE (Spark's hash
     # folds array elements through the carry: carry = hashLong(elem,
     # carry) — the twin mirrors the fold); hashing the longs directly
-    # beats stringifying 4 values per band × 16 bands per row
+    # beats stringifying 4 values per band × 16 bands per row.
+    # One F.expr for the whole banded explode (py4j-chatter discipline,
+    # see minhash_signatures).
+    band_structs = ", ".join(
+        f"struct({b} AS band, xxhash64(slice(sig, {b * rows + 1}, {rows})) AS bandhash)"
+        for b in range(bands)
+    )
     banded = signatures.select(
-        "doc",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias(
-                        "bandhash"
-                    ),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bh"),
+        "doc", "sig", F.expr(f"explode(array({band_structs})) AS bh")
     ).select("doc", "sig", "bh.band", "bh.bandhash")
 
     a = banded.select(
@@ -381,24 +379,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         "doc",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    h = F.xxhash64(F.col("tok"))
+    hashed = toks.select("doc", F.xxhash64("tok").alias("_h"))
     # vote_b > 0 ⇔ 2·ones_b > n_tokens (ones_b = count of set bits b):
     # a plain masked-bit SUM per position instead of a conditional ±1 —
     # same signature bit-for-bit (ties included), fewer expressions in
-    # the hot 63-column aggregate
-    ones = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"o{b}")
-        for b in range(63)
-    ]
-    agg = toks.groupBy("doc").agg(*ones, F.count(F.lit(1)).alias("_n"))
-    sig = None
-    for b in range(63):
-        bit = F.when(
-            F.col(f"o{b}") * 2 > F.col("_n"), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return agg.select("doc", sig.alias("simhash"))
+    # the hot 63-column aggregate. Built as F.expr strings: the
+    # Column-API form cost ~2.6 s of py4j round trips PER QUERY
+    # CONSTRUCTION for the 63 bits (measured; the parsed expressions
+    # resolve identically — see minhash_signatures).
+    ones = [F.expr(f"sum(shiftright(_h, {b}) & 1) AS o{b}") for b in range(63)]
+    agg = hashed.groupBy("doc").agg(*ones, F.count(F.lit(1)).alias("_n"))
+    sig = " ^ ".join(
+        f"shiftleft(IF(o{b} * 2 > _n, 1L, 0L), {b})" for b in range(63)
+    )
+    return agg.select("doc", F.expr(f"({sig}) AS simhash"))
 
 
 def simhash_near_pairs(
@@ -435,20 +429,14 @@ def simhash_near_pairs(
     base, rem = divmod(63, b)
     widths = [base + (1 if i < rem else 0) for i in range(b)]
     offs = [sum(widths[:i]) for i in range(b)]
+    # one F.expr for the banded explode (py4j-chatter discipline)
+    band_structs = ", ".join(
+        f"struct({i} AS band, "
+        f"shiftright(simhash, {offs[i]}) & {(1 << widths[i]) - 1} AS val)"
+        for i in range(b)
+    )
     banded = sigs.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright("simhash", offs[i])
-                    .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                    .alias("val"),
-                )
-                for i in range(b)
-            ])
-        ).alias("bv"),
+        "doc", "simhash", F.expr(f"explode(array({band_structs})) AS bv")
     ).select("doc", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
     a = banded.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("s_a"), "band", "val"
