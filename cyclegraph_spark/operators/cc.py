@@ -125,6 +125,7 @@ def connected_components(
     hot_degree: int = 1_000_000,
     skew_factor: int = 8,
     stats: dict | None = None,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """edges(src, dst) → labels(id, component); component = min id.
 
@@ -194,11 +195,15 @@ def connected_components(
     # coalescing on the small contracted relations), and the armed-path
     # pathology test regressed 24.7 → 45.9 s when all CC checkpoints
     # went lazy (r5, local[32] idle, identical labels).
-    e0 = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .localCheckpoint(eager=True)
+    # ``input_materialized=True`` (callers whose edge frame already sits
+    # on a checkpoint — dedup_clusters, the pipeline) skips this job:
+    # re-deriving a projection of a materialized relation is cheaper
+    # than another full materialization pass.
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
     )
+    if not input_materialized:
+        e0 = e0.localCheckpoint(eager=True)
     # lazy: one distinct over the checkpointed e0, executed by the final
     # labels join only (it is not consumed inside the loop)
     verts = (

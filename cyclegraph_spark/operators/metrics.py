@@ -50,13 +50,17 @@ def session_metrics(
     hr: str = "hr",
     ftp: float | None = None,
     window: int = 30,
+    with_duration: bool = False,
 ) -> DataFrame:
     """samples → one row per activity with the reference metric block.
 
     Output columns: activity_id, avg_power, avg_hr, np, if_, vi, pa_hr,
     w_per_beat, precision_watt, precision_watt_fmt, status, n_samples.
     Values rounded to 2 decimals (session.py:786-794), if_ to 3
-    (session.py:455).
+    (session.py:455). ``with_duration=True`` appends ``duration_s`` =
+    (max(t)−min(t))/1e6 from the SAME aggregation pass — callers that
+    need it (a17 badges) otherwise re-scan and re-aggregate the samples
+    a second time just to join one column back.
     """
     win = max(int(window), 1)
     order = Window.partitionBy(act).orderBy(t)
@@ -76,6 +80,7 @@ def session_metrics(
         p.alias("_p"),
         h.alias("_h"),
         F.avg(p).over(w_np).alias("_roll"),
+        *([F.col(t).alias("_t")] if with_duration else []),
     )
 
     wpb_point = F.when((F.col("_h") > 0) & ~F.isnan(F.col("_p")), F.col("_p") / F.col("_h"))
@@ -88,6 +93,11 @@ def session_metrics(
         F.pow(F.avg(F.pow("_roll", 4)), 0.25).alias("_np_windowed"),
         F.percentile(wpb_point, 0.5).alias("_wpb_median"),
         (F.percentile(resid, 0.75) - F.percentile(resid, 0.25)).alias("_iqr"),
+        *(
+            [((F.max("_t") - F.min("_t")) / 1e6).alias("_duration_s")]
+            if with_duration
+            else []
+        ),
     )
 
     np_val = F.when(F.col("n_samples") < win, F.col("avg_power")).otherwise(
@@ -120,6 +130,7 @@ def session_metrics(
         F.format_string("±%.1f W", F.greatest(pw, F.lit(0.0))).alias("precision_watt_fmt"),
         status.alias("status"),
         F.col("n_samples"),
+        *([F.col("_duration_s").alias("duration_s")] if with_duration else []),
     )
     if ftp is not None and ftp > 0:
         out = out.withColumn("if_", F.round(F.col("np") / F.lit(float(ftp)), 3))

@@ -231,12 +231,23 @@ def j7_grid_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAE per cell → min_by argmin with deterministic (mae, crr)
     tie-break. The grid is 6 rows — broadcast nested-loop is free."""
     li = load(spark, sf_dir, "lineitem")
-    grid = spark.createDataFrame([(c,) for c in (0.003, 0.004, 0.005, 0.006, 0.007, 0.008)], "crr double")
-    scored = (
-        li.crossJoin(F.broadcast(grid))
-        .groupBy("l_returnflag", "crr")
-        .agg(F.avg(F.abs(F.col("l_discount") / 10.0 - F.col("crr"))).alias("mae"))
+    crrs = (0.003, 0.004, 0.005, 0.006, 0.007, 0.008)
+    # one aggregation pass with 6 MAE columns + an unpivot instead of a
+    # 6× crossJoin row expansion: the fact table is scanned and hashed
+    # once, not 6 times (guide §2.3 — don't multiply rows to vary a
+    # constant). Same cells, same min_by argmin + tie-break downstream.
+    per_flag = li.groupBy("l_returnflag").agg(
+        *[
+            F.avg(F.abs(F.col("l_discount") / 10.0 - F.lit(c))).alias(f"m{i}")
+            for i, c in enumerate(crrs)
+        ]
     )
+    stack = F.expr(
+        f"stack({len(crrs)}, "
+        + ", ".join(f"CAST({c!r} AS DOUBLE), m{i}" for i, c in enumerate(crrs))
+        + ") AS (crr, mae)"
+    )
+    scored = per_flag.select("l_returnflag", stack)
     return (
         scored.groupBy("l_returnflag")
         .agg(

@@ -222,12 +222,12 @@ def a17_badges_v22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("watts"),
         (F.pmod(F.col("value"), F.lit(100.0)) + 60).alias("hr"),
     ).drop("user_id")
-    block = session_metrics(samples)
-    dur = samples.groupBy("activity_id").agg(
-        ((F.max("t") - F.min("t")) / 1e6).alias("duration_s")
-    )
+    # duration comes out of the SAME aggregation pass (with_duration):
+    # the old separate groupBy + join re-scanned events and re-built the
+    # samples projection a second time for one column
+    block = session_metrics(samples, with_duration=True)
     rep = (
-        block.join(dur, "activity_id")
+        block
         .withColumn("user_id", F.split("activity_id", "#")[0].cast("long"))
         .withColumn("week", F.to_date(F.split("activity_id", "#")[1]))
         .select(
