@@ -26,6 +26,28 @@ PREFIXES = {
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 
+# Conservative PN_CHARS subset: ASCII alnum only. Python's str.isalnum()
+# admits codepoints outside Turtle's PN_CHARS ranges (e.g. '²' — 'pow²'
+# would compact to the invalid PN_LOCAL schema:pow²), so membership is
+# explicit (ADVICE r5).
+_PN_ASCII = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+# IRIREF production forbids controls/space and <>"{}|^`\ raw; emit them
+# as UCHAR (\uXXXX) escapes in the <uri> fallback — spec-valid AND
+# reversible (raw '\' is itself forbidden, so every backslash in output
+# starts an escape; a uri containing a space previously serialized as
+# the unparseable <https://x/a b> — ADVICE r5).
+_IRI_FORBIDDEN = frozenset('<>"{}|^`\\') | frozenset(chr(c) for c in range(0x21))
+
+
+def _iri(uri: str) -> str:
+    if any(c in _IRI_FORBIDDEN for c in uri):
+        uri = "".join(
+            f"\\u{ord(c):04X}" if c in _IRI_FORBIDDEN else c for c in uri
+        )
+    return f"<{uri}>"
+
 
 def _compact(uri: str) -> str:
     for pfx, ns in PREFIXES.items():
@@ -35,12 +57,12 @@ def _compact(uri: str) -> str:
             # first char may not be '-' or '.' — fall back to <uri> form
             if (
                 local
-                and all(c.isalnum() or c in "_-." for c in local)
+                and all(c in _PN_ASCII or c in "_-." for c in local)
                 and not local.endswith(".")
-                and (local[0].isalnum() or local[0] == "_")
+                and (local[0] in _PN_ASCII or local[0] == "_")
             ):
                 return f"{pfx}:{local}"
-    return f"<{uri}>"
+    return _iri(uri)
 
 
 def _term(obj: str, obj_dtype: str) -> str:

@@ -109,13 +109,24 @@ def _capped_posting_lists(sh: DataFrame, max_doc_freq: int) -> DataFrame:
 
 def _assert_unique_ids(df: DataFrame, id_col: str, caller: str) -> None:
     """One count/countDistinct action over the id column; raises
-    ValueError on duplicates. Opt-in (see ``check_unique``): the gated
-    corpora own the invariant, but a library caller violating it would
-    otherwise get silently wrong jaccard/signatures."""
+    ValueError on duplicates OR any NULL id. Opt-in (see
+    ``check_unique``): the gated corpora own the invariant, but a
+    library caller violating it would otherwise get silently wrong
+    jaccard/signatures. NULLs need their own check — ``count(col)`` and
+    ``count_distinct`` both SKIP nulls, so several NULL-id rows would
+    pass a rows-vs-distinct comparison yet still merge into one groupBy
+    key downstream (ADVICE r5)."""
     r = df.agg(
+        F.count(F.lit(1)).alias("rows"),
         F.count(F.col(id_col)).alias("n"),
         F.count_distinct(F.col(id_col)).alias("nd"),
     ).first()
+    if r["rows"] != r["n"]:
+        raise ValueError(
+            f"{caller}: id column '{id_col}' has {r['rows'] - r['n']} NULLs "
+            "— NULL ids merge into a single group downstream; assign real "
+            f"ids or drop the rows before calling {caller}"
+        )
     if r["n"] != r["nd"]:
         raise ValueError(
             f"{caller}: id column '{id_col}' has duplicates "

@@ -360,3 +360,24 @@ def test_check_unique_guard_raises_on_duplicate_ids(spark):
     )
     plain = sorted(map(tuple, ngram_jaccard_pairs(uniq).collect()))
     assert guarded == plain and len(guarded) == 1
+
+
+def test_check_unique_guard_raises_on_null_ids(spark):
+    """NULL ids evade a rows-vs-distinct comparison (count(col) and
+    count_distinct both skip nulls) yet merge into one groupBy key
+    downstream — the guard must catch them explicitly (ADVICE r5)."""
+    import pytest as _pytest
+
+    from cyclegraph_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    nulls = spark.createDataFrame(
+        [(None, "a b c d e"), (None, "a b c x y"), (2, "q r s t u")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        ngram_jaccard_pairs(nulls, check_unique=True).collect()
+    with _pytest.raises(ValueError, match="NULL"):
+        minhash_signatures(nulls, check_unique=True).collect()

@@ -839,8 +839,29 @@ def _ttl_unterm(tok: str, prefixes: dict[str, str]) -> tuple[str, str]:
     """Turtle term token → (value, dtype) with 'uri' for IRIs."""
     def expand(t: str) -> str:
         if t.startswith("<"):
-            return t[1:-1]
+            body = t[1:-1]
+            # IRIREF: controls/space and <>"{}|^`\ may not appear raw —
+            # the serializer must emit them as UCHAR escapes (reject raw,
+            # then decode \uXXXX; '\' itself is forbidden raw so every
+            # backslash starts an escape)
+            forbidden = set('<>"{}|^`') | {chr(c) for c in range(0x21)}
+            out, i = [], 0
+            while i < len(body):
+                c = body[i]
+                if c == "\\":
+                    assert body[i + 1] == "u", f"bad IRIREF escape in {t!r}"
+                    out.append(chr(int(body[i + 2 : i + 6], 16)))
+                    i += 6
+                else:
+                    assert c not in forbidden, f"raw forbidden char in IRIREF {t!r}"
+                    out.append(c)
+                    i += 1
+            return "".join(out)
         pfx, local = t.split(":", 1)
+        # PN_LOCAL subset the serializer may emit: ASCII alnum, _-. only
+        assert all(
+            c.isascii() and (c.isalnum() or c in "_-.") for c in local
+        ), f"non-PN_LOCAL char in {t!r}"
         return prefixes[pfx] + local
 
     if tok.startswith('"'):
