@@ -125,7 +125,6 @@ def connected_components(
     hot_degree: int = 1_000_000,
     skew_factor: int = 8,
     stats: dict | None = None,
-    input_materialized: bool = False,
 ) -> DataFrame:
     """edges(src, dst) → labels(id, component); component = min id.
 
@@ -195,15 +194,19 @@ def connected_components(
     # coalescing on the small contracted relations), and the armed-path
     # pathology test regressed 24.7 → 45.9 s when all CC checkpoints
     # went lazy (r5, local[32] idle, identical labels).
-    # ``input_materialized=True`` (callers whose edge frame already sits
-    # on a checkpoint — dedup_clusters, the pipeline) skips this job:
-    # re-deriving a projection of a materialized relation is cheaper
-    # than another full materialization pass.
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u").isNotNull() & F.col("v").isNotNull()
+    # Round-6 A/B (kept as-is): skipping this checkpoint when the
+    # caller's edge frame already sits on a checkpoint (dedup_clusters,
+    # the pipeline) measured NEUTRAL-to-worse — on a materialized input
+    # this job is nearly free, while without it the e-checkpoint and the
+    # final verts join each re-derive (and re-compile) the projection.
+    # Same verdict for skipping the e distinct below on guaranteed-clean
+    # pair graphs. The CC job sequence is at its overhead floor
+    # (r5 profile: ~8 × ~200 ms per-action cost, not a plan flaw).
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint(eager=True)
     )
-    if not input_materialized:
-        e0 = e0.localCheckpoint(eager=True)
     # lazy: one distinct over the checkpointed e0, executed by the final
     # labels join only (it is not consumed inside the loop)
     verts = (
@@ -211,6 +214,13 @@ def connected_components(
         .unionByName(e0.select(F.col("v").alias("id")))
         .distinct()
     )
+    # NB: even for inputs that are already unique/self-loop-free (the
+    # dedup pair graph) this distinct+checkpoint stays: an A/B this
+    # round (skip it when the caller guarantees cleanliness) was
+    # neutral-to-worse — without the materialized ``e`` the seed
+    # fingerprint and both round-1 star steps each re-derive and
+    # re-compile the projection subtree, costing more than the no-op
+    # dedup shuffle saves.
     e = e0.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
 
     if stats is not None:

@@ -267,8 +267,7 @@ def dedup_clusters(
         threshold=threshold, max_doc_freq=max_doc_freq,
     ).localCheckpoint(eager=True)
     labels = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-        input_materialized=True,  # pairs is checkpointed just above
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")

@@ -103,10 +103,7 @@ def run_pipeline(
             prior.select(F.col("id").alias("src"), F.col("component").alias("dst"))
         )
     cc_stats: dict = {}
-    # triples is checkpointed above; the prior-labels union (resume) is a
-    # parquet read — both sides cheap to re-derive, so CC can skip its
-    # own entry materialization job
-    labels = connected_components(edges, stats=cc_stats, input_materialized=True)
+    labels = connected_components(edges, stats=cc_stats)
     if prior is not None:
         # stale ids: old canonical assignment != new one. Store rows hold
         # OLD canonical values (old component minima or never-labeled raw
