@@ -81,7 +81,17 @@ def _attach_min(
 
 
 def _large_star(e: DataFrame, hot_degree: int, split_hot: bool) -> DataFrame:
-    """(u,v) undirected → for each node, larger neighbors hook to m(u)."""
+    """(u,v) undirected → for each node, larger neighbors hook to m(u).
+
+    Output is a MULTISET: the trailing distinct this step used to carry
+    is redundant in the round composition — ``_small_star`` immediately
+    re-orients and distincts, so deduplicating here was a second full
+    exchange per round for the same result (round-output hash-verified
+    identical; guide §2.4). The volume risk of shipping duplicates into
+    small-star's distinct is bounded by that distinct's map-side
+    partial aggregation: within-partition duplicates collapse before
+    the shuffle, so only cross-partition duplicates cross the wire.
+    """
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).filter(F.col("u") != F.col("v"))
@@ -89,12 +99,11 @@ def _large_star(e: DataFrame, hot_degree: int, split_hot: bool) -> DataFrame:
         F.least(F.min("v"), F.first("u")).alias("m"),
         F.count(F.lit(1)).alias("deg"),
     )
-    out = (
+    return (
         _attach_min(sym, w, hot_degree, split_hot)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    return out.distinct()
 
 
 def _small_star(e: DataFrame, hot_degree: int, split_hot: bool) -> DataFrame:
